@@ -1,0 +1,26 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh with x64.
+
+Multi-chip sharding is exercised on `xla_force_host_platform_device_count=8`
+fake devices (the driver separately dry-runs `__graft_entry__.dryrun_multichip`);
+numerics-validation tests use float64 on CPU. The framework itself is
+dtype-polymorphic and runs bf16/f32 on real TPU.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU for the test suite (the ambient env may point JAX_PLATFORMS at a
+# real TPU tunnel; tests validate numerics in f64 and sharding on fake devices).
+# The axon sitecustomize imports jax before this file runs, so the env var is
+# already baked — override through the config instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", True)
