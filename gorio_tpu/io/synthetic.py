@@ -1,0 +1,172 @@
+"""Synthetic radar-inertial sequence generation for tests and benchmarks.
+
+Replaces the reference's integration-test strategy of replaying NTU4DRadLM
+rosbags (SURVEY.md §4): we simulate a smooth SE(3) trajectory, sample gyro +
+Doppler ego-velocity streams, and render radar scans of a fixed world point set
+with per-point Doppler. Ground truth is exact, so ATE/preintegration moments
+can be checked tightly — something the reference never had.
+
+Host-side float64 numpy on purpose (data generation, not the compute path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.pointcloud import make_cloud
+
+
+@dataclass
+class Trajectory:
+    """Dense ground-truth trajectory sampled at `t` (body frame FLU)."""
+
+    t: np.ndarray  # (T,)
+    R: np.ndarray  # (T, 3, 3) world_R_body
+    p: np.ndarray  # (T, 3) world position
+    omega: np.ndarray  # (T, 3) body angular velocity
+    v_body: np.ndarray  # (T, 3) body-frame linear velocity
+
+    def interp_pose(self, tq: np.ndarray):
+        """Piecewise pose interpolation (rotvec-lerp within cells)."""
+        from scipy.spatial.transform import Rotation, Slerp
+
+        slerp = Slerp(self.t, Rotation.from_matrix(self.R))
+        tq = np.clip(tq, self.t[0], self.t[-1])
+        Rq = slerp(tq).as_matrix()
+        pq = np.stack([np.interp(tq, self.t, self.p[:, i]) for i in range(3)], axis=-1)
+        return Rq, pq
+
+
+def _smooth_signal(rng, t, n_harmonics, amp, base=0.0):
+    """Sum of random low-frequency sinusoids, (T, 3)."""
+    out = np.full((t.shape[0], 3), base, dtype=np.float64)
+    for _ in range(n_harmonics):
+        freq = rng.uniform(0.05, 0.6, size=3)
+        phase = rng.uniform(0, 2 * np.pi, size=3)
+        a = rng.normal(scale=amp, size=3)
+        out += a * np.sin(2 * np.pi * freq * t[:, None] + phase)
+    return out
+
+
+def simulate_trajectory(
+    seed: int = 0,
+    duration: float = 10.0,
+    rate: float = 1000.0,
+    omega_amp: float = 0.25,
+    vel_amp: float = 1.0,
+    forward_speed: float = 2.0,
+) -> Trajectory:
+    """Smooth random trajectory: integrate body rates/velocities at `rate` Hz."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(0.0, duration + 0.5 / rate, 1.0 / rate)
+    omega = _smooth_signal(rng, t, 3, omega_amp)
+    v_body = _smooth_signal(rng, t, 3, vel_amp)
+    v_body[:, 0] += forward_speed
+    v_body[:, 2] *= 0.2  # mostly planar, like a ground robot
+
+    from scipy.spatial.transform import Rotation
+
+    T = t.shape[0]
+    R = np.zeros((T, 3, 3))
+    p = np.zeros((T, 3))
+    R[0] = np.eye(3)
+    dt = 1.0 / rate
+    for i in range(T - 1):
+        # left-endpoint integration, matching the reference LPM integrator
+        # (`preint.h:421-470`): R_{i+1} = R_i exp(w_i dt)
+        R[i + 1] = R[i] @ Rotation.from_rotvec(omega[i] * dt).as_matrix()
+        p[i + 1] = p[i] + R[i] @ v_body[i] * dt
+    return Trajectory(t=t, R=R, p=p, omega=omega, v_body=v_body)
+
+
+@dataclass
+class GyroVelData:
+    """Measurement container, parity with `VelInt/types.h:75-224` (GyroVelData)."""
+
+    gyr_t: np.ndarray  # (G,)
+    gyr: np.ndarray  # (G, 3)
+    vel_t: np.ndarray  # (V,)
+    vel: np.ndarray  # (V, 3)
+    gyr_var: float
+    vel_var: float
+
+
+def sample_imu(
+    traj: Trajectory,
+    gyr_rate: float = 200.0,
+    vel_rate: float = 10.0,
+    gyr_std: float = 0.005,
+    vel_std: float = 0.02,
+    gyr_bias=(0.0, 0.0, 0.0),
+    vel_bias=(0.0, 0.0, 0.0),
+    seed: int = 1,
+) -> GyroVelData:
+    rng = np.random.default_rng(seed)
+    gyr_t = np.arange(traj.t[0], traj.t[-1], 1.0 / gyr_rate)
+    vel_t = np.arange(traj.t[0], traj.t[-1], 1.0 / vel_rate)
+    gyr = np.stack([np.interp(gyr_t, traj.t, traj.omega[:, i]) for i in range(3)], axis=-1)
+    vel = np.stack([np.interp(vel_t, traj.t, traj.v_body[:, i]) for i in range(3)], axis=-1)
+    gyr = gyr + np.asarray(gyr_bias) + rng.normal(scale=gyr_std, size=gyr.shape)
+    vel = vel + np.asarray(vel_bias) + rng.normal(scale=vel_std, size=vel.shape)
+    return GyroVelData(
+        gyr_t=gyr_t, gyr=gyr, vel_t=vel_t, vel=vel, gyr_var=gyr_std**2, vel_var=vel_std**2
+    )
+
+
+def make_world(seed: int = 2, n_landmarks: int = 4000, extent: float = 60.0) -> np.ndarray:
+    """Static world: ground plane points + wall/box clusters (see
+    `core.pointcloud.random_cloud` for the single-scan variant)."""
+    rng = np.random.default_rng(seed)
+    n_ground = n_landmarks // 3
+    gx = rng.uniform(-extent, extent, size=(n_ground, 2))
+    ground = np.concatenate([gx, -1.8 + 0.05 * rng.normal(size=(n_ground, 1))], axis=1)
+    n_rest = n_landmarks - n_ground
+    n_clusters = 30
+    centers = rng.uniform(-extent, extent, size=(n_clusters, 3))
+    centers[:, 2] = np.abs(centers[:, 2]) * 0.1
+    assign = rng.integers(0, n_clusters, size=n_rest)
+    local = rng.normal(size=(n_rest, 3)) * np.array([3.0, 0.15, 1.5])
+    rest = centers[assign] + local
+    return np.concatenate([ground, rest], axis=0)
+
+
+def render_radar_scan(
+    world: np.ndarray,
+    R_wb: np.ndarray,
+    p_w: np.ndarray,
+    v_body: np.ndarray,
+    max_range: float = 40.0,
+    noise_xyz: float = 0.02,
+    noise_doppler: float = 0.02,
+    dropout: float = 0.3,
+    capacity: int = 2048,
+    seed: int = 3,
+    dtype=np.float64,
+):
+    """Render one radar scan in the sensor(body) frame with per-point Doppler.
+
+    Doppler convention: y_i = r_hat_i . v_body (positive when the sensor moves
+    toward a static target), matching what the reference feeds `solve3DFull`
+    as radar_data column 3 after its sign corrections."""
+    rng = np.random.default_rng(seed)
+    local = (world - p_w) @ R_wb  # world -> body
+    r = np.linalg.norm(local, axis=-1)
+    keep = (r > 0.5) & (r < max_range)
+    keep &= rng.uniform(size=keep.shape) > dropout
+    pts = local[keep]
+    r = r[keep]
+    order = rng.permutation(pts.shape[0])[:capacity]
+    pts = pts[order]
+    r = r[order]
+    doppler = (pts / r[:, None]) @ v_body
+    pts = pts + rng.normal(scale=noise_xyz, size=pts.shape)
+    doppler = doppler + rng.normal(scale=noise_doppler, size=doppler.shape)
+    intensity = 10.0 + 20.0 * rng.uniform(size=pts.shape[0])
+    return make_cloud(
+        pts.astype(dtype),
+        intensity=intensity.astype(dtype),
+        doppler=doppler.astype(dtype),
+        capacity=capacity,
+    )

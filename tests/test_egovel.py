@@ -1,0 +1,87 @@
+"""Ego-velocity estimator tests: recover known velocity, outliers, zero-vel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gorio_tpu.estimators.egovel import EgoVelConfig, estimate_ego_velocity
+from gorio_tpu.io.synthetic import make_world, render_radar_scan
+
+
+def _scan(v_body, seed=0, dropout=0.2, dynamic_frac=0.0, capacity=1024):
+    world = make_world(seed=seed)
+    cloud = render_radar_scan(
+        world,
+        np.eye(3),
+        np.zeros(3),
+        np.asarray(v_body),
+        capacity=capacity,
+        seed=seed,
+        dropout=dropout,
+    )
+    if dynamic_frac > 0:
+        rng = np.random.default_rng(seed + 7)
+        n = cloud.capacity
+        dyn = rng.uniform(size=n) < dynamic_frac
+        extra = rng.uniform(2.0, 6.0, size=n) * np.sign(rng.normal(size=n))
+        doppler = np.asarray(cloud.doppler) + np.where(dyn, extra, 0.0)
+        cloud = cloud._replace(doppler=jnp.asarray(doppler))
+    return cloud
+
+
+def test_recover_velocity_clean():
+    v_true = np.array([2.0, -0.4, 0.15])
+    cloud = _scan(v_true)
+    res = estimate_ego_velocity(cloud, key=jax.random.PRNGKey(0))
+    assert bool(res.ok)
+    assert not bool(res.zero_velocity)
+    np.testing.assert_allclose(np.asarray(res.v), v_true, atol=2e-2)
+    assert np.all(np.asarray(res.sigma) < 0.05)
+
+
+def test_recover_velocity_with_dynamic_outliers():
+    v_true = np.array([1.5, 0.3, 0.0])
+    cloud = _scan(v_true, seed=4, dynamic_frac=0.25)
+    # the reference hard-codes a 5% reinsertion ratio that defeats RANSAC for
+    # heavily dynamic scenes; raise it to let RANSAC actually reject outliers
+    # (the default outlier_prob=0.05 yields only 3 iterations per the
+    # reference's formula; budget for the actual 25% contamination)
+    cfg = EgoVelConfig(outlier_reinsert_ratio=0.5, outlier_prob=0.35)
+    res = estimate_ego_velocity(cloud, cfg, key=jax.random.PRNGKey(1))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.v), v_true, atol=5e-2)
+    # the dynamic points should be rejected
+    inlier_frac = float(jnp.sum(res.inlier_mask) / jnp.sum(res.valid_mask))
+    assert 0.5 < inlier_frac < 0.95
+
+
+def test_zero_velocity_detection():
+    cloud = _scan(np.zeros(3), seed=5)
+    res = estimate_ego_velocity(cloud)
+    assert bool(res.zero_velocity)
+    np.testing.assert_allclose(np.asarray(res.v), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(res.sigma), [1.0e-3, 3.2e-3, 1.0e-2], rtol=1e-6
+    )
+
+
+def test_vmap_over_scans():
+    clouds = [_scan(np.array([1.0, 0.1 * i, 0.0]), seed=10 + i) for i in range(3)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    res = jax.vmap(lambda c, k: estimate_ego_velocity(c, key=k))(batch, keys)
+    assert res.v.shape == (3, 3)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(res.v[i]), [1.0, 0.1 * i, 0.0], atol=5e-2
+        )
+
+
+def test_jit_compiles_once():
+    f = jax.jit(lambda c, k: estimate_ego_velocity(c, key=k))
+    c1 = _scan(np.array([1.0, 0.0, 0.0]), seed=20)
+    c2 = _scan(np.array([0.5, 0.5, 0.0]), seed=21)
+    r1 = f(c1, jax.random.PRNGKey(0))
+    r2 = f(c2, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(r1.v), [1.0, 0.0, 0.0], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(r2.v), [0.5, 0.5, 0.0], atol=2e-2)
