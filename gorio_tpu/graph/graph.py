@@ -1,0 +1,208 @@
+"""Host-side pose-graph builder + g2o-format persistence.
+
+Counterpart of the reference's `GraphSLAM` wrapper object
+(`graph_slam.cpp:56-412`) and its `save`/`load` with the robust-kernel sidecar
+(`robust_kernel_io.cpp`): the builder accumulates factors in Python lists (the
+host is the "graph manager", like the 2-3 s optimization timer thread), then
+`freeze()` packs them into fixed-capacity `GraphData` arrays for the jitted
+solver. Save/load uses the standard g2o text format (VERTEX_SE3:QUAT /
+EDGE_SE3:QUAT) so graphs can be cross-checked against g2o itself.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from .factors import (
+    GraphData,
+    empty_graph,
+)
+
+
+def _pad_to(n, cap):
+    if cap is None:
+        # round up to the next power of two >= 4 to bound recompilation
+        return max(4, 1 << (max(n, 1) - 1).bit_length())
+    return cap
+
+
+@dataclass
+class PoseGraph:
+    """Mutable builder; freeze() -> (poses, GraphData) for `optimize_graph`."""
+
+    dtype: type = np.float64
+    poses: list = field(default_factory=list)  # list of (4,4) np arrays
+    _between: list = field(default_factory=list)
+    _priors: list = field(default_factory=list)
+    _point_priors: list = field(default_factory=list)
+    _quat_priors: list = field(default_factory=list)
+
+    # ---- vertices -------------------------------------------------------
+    def add_pose(self, T) -> int:
+        """Parity: `GraphSLAM::add_se3_node` (`graph_slam.cpp:88`)."""
+        self.poses.append(np.asarray(T, dtype=self.dtype))
+        return len(self.poses) - 1
+
+    # ---- factors --------------------------------------------------------
+    def add_between(self, i, j, T_meas, info, robust_delta=math.inf):
+        """Parity: `add_se3_edge` (`graph_slam.cpp:125`); info is the 6x6
+        information matrix (rot block first, matching our residual order)."""
+        self._between.append((i, j, np.asarray(T_meas, self.dtype), _sqrt_info(info, 6, self.dtype), robust_delta))
+
+    def add_prior(self, i, T_meas, info, robust_delta=math.inf):
+        self._priors.append((i, np.asarray(T_meas, self.dtype), _sqrt_info(info, 6, self.dtype), robust_delta))
+
+    def add_point_prior(self, i, p_meas, info, axes=(1, 1, 1), robust_delta=math.inf):
+        """Covers add_se3_prior_xyz_edge / add_se3_prior_xy_edge / z
+        (`graph_slam.cpp:141-168`) via the axis mask."""
+        self._point_priors.append(
+            (i, np.asarray(p_meas, self.dtype), np.asarray(axes, self.dtype), _sqrt_info(info, 3, self.dtype), robust_delta)
+        )
+
+    def add_quat_prior(self, i, R_meas, info, robust_delta=math.inf):
+        self._quat_priors.append((i, np.asarray(R_meas, self.dtype), _sqrt_info(info, 3, self.dtype), robust_delta))
+
+    # ---- freeze ---------------------------------------------------------
+    def freeze(self, capacity_between=None, capacity_unary=None):
+        K = len(self.poses)
+        jdtype = jnp.asarray(np.zeros(1, self.dtype)).dtype
+        g = empty_graph(
+            _pad_to(len(self._between), capacity_between),
+            _pad_to(len(self._priors), capacity_unary),
+            _pad_to(len(self._point_priors), capacity_unary),
+            _pad_to(len(self._quat_priors), capacity_unary),
+            dtype=jdtype,
+        )
+        b = g.between
+        for n, (i, j, T, sq, rd) in enumerate(self._between):
+            b = b._replace(
+                i=b.i.at[n].set(i),
+                j=b.j.at[n].set(j),
+                T_meas=b.T_meas.at[n].set(T),
+                sqrt_info=b.sqrt_info.at[n].set(sq),
+                mask=b.mask.at[n].set(True),
+                robust_delta=b.robust_delta.at[n].set(rd),
+            )
+        p = g.priors
+        for n, (i, T, sq, rd) in enumerate(self._priors):
+            p = p._replace(
+                i=p.i.at[n].set(i),
+                T_meas=p.T_meas.at[n].set(T),
+                sqrt_info=p.sqrt_info.at[n].set(sq),
+                mask=p.mask.at[n].set(True),
+                robust_delta=p.robust_delta.at[n].set(rd),
+            )
+        pp = g.point_priors
+        for n, (i, pm, ax, sq, rd) in enumerate(self._point_priors):
+            pp = pp._replace(
+                i=pp.i.at[n].set(i),
+                p_meas=pp.p_meas.at[n].set(pm),
+                axis_mask=pp.axis_mask.at[n].set(ax),
+                sqrt_info=pp.sqrt_info.at[n].set(sq),
+                mask=pp.mask.at[n].set(True),
+                robust_delta=pp.robust_delta.at[n].set(rd),
+            )
+        q = g.quat_priors
+        for n, (i, Rm, sq, rd) in enumerate(self._quat_priors):
+            q = q._replace(
+                i=q.i.at[n].set(i),
+                R_meas=q.R_meas.at[n].set(Rm),
+                sqrt_info=q.sqrt_info.at[n].set(sq),
+                mask=q.mask.at[n].set(True),
+                robust_delta=q.robust_delta.at[n].set(rd),
+            )
+        graph = GraphData(between=b, priors=p, point_priors=pp, quat_priors=q)
+        return jnp.asarray(np.stack(self.poses), dtype=jdtype), graph
+
+    # ---- persistence (g2o text format) ---------------------------------
+    def save(self, path, poses=None):
+        """Write VERTEX_SE3:QUAT / EDGE_SE3:QUAT lines; parity with
+        `GraphSLAM::save` (`graph_slam.cpp:384-391`). Note g2o orders the
+        6-dof error as [trans, rot]; we store our [rot, trans] info in that
+        order when serializing for compatibility."""
+        with open(path, "w") as fh:
+            ps = poses if poses is not None else self.poses
+            for k, T in enumerate(np.asarray(ps)):
+                q = np.asarray(lie.mat_to_quat(jnp.asarray(T[:3, :3])))
+                t = T[:3, 3]
+                fh.write(
+                    f"VERTEX_SE3:QUAT {k} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}\n"
+                )
+            for (i, j, T, sq, rd) in self._between:
+                q = np.asarray(lie.mat_to_quat(jnp.asarray(T[:3, :3])))
+                t = T[:3, 3]
+                info = sq.T @ sq
+                # reorder [rot, trans] -> [trans, rot] for g2o
+                P = np.zeros((6, 6))
+                P[:3, 3:] = np.eye(3)
+                P[3:, :3] = np.eye(3)
+                info_g = P @ info @ P.T
+                upper = [info_g[r, c] for r in range(6) for c in range(r, 6)]
+                fh.write(
+                    f"EDGE_SE3:QUAT {i} {j} {t[0]} {t[1]} {t[2]} "
+                    f"{q[1]} {q[2]} {q[3]} {q[0]} " + " ".join(map(str, upper)) + "\n"
+                )
+
+    @classmethod
+    def load(cls, path, dtype=np.float64):
+        g = cls(dtype=dtype)
+        verts = {}
+        with open(path) as fh:
+            for line in fh:
+                tok = line.split()
+                if not tok:
+                    continue
+                if tok[0] == "VERTEX_SE3:QUAT":
+                    idx = int(tok[1])
+                    t = np.array(list(map(float, tok[2:5])))
+                    qx, qy, qz, qw = map(float, tok[5:9])
+                    R = np.asarray(lie.quat_to_mat(jnp.asarray([qw, qx, qy, qz])))
+                    T = np.eye(4)
+                    T[:3, :3] = R
+                    T[:3, 3] = t
+                    verts[idx] = T
+                elif tok[0] == "EDGE_SE3:QUAT":
+                    i, j = int(tok[1]), int(tok[2])
+                    t = np.array(list(map(float, tok[3:6])))
+                    qx, qy, qz, qw = map(float, tok[6:10])
+                    R = np.asarray(lie.quat_to_mat(jnp.asarray([qw, qx, qy, qz])))
+                    T = np.eye(4)
+                    T[:3, :3] = R
+                    T[:3, 3] = t
+                    upper = list(map(float, tok[10:31]))
+                    info_g = np.zeros((6, 6))
+                    n = 0
+                    for r in range(6):
+                        for c in range(r, 6):
+                            info_g[r, c] = info_g[c, r] = upper[n]
+                            n += 1
+                    P = np.zeros((6, 6))
+                    P[:3, 3:] = np.eye(3)
+                    P[3:, :3] = np.eye(3)
+                    info = P.T @ info_g @ P
+                    g._between.append((i, j, T, _sqrt_info(info, 6, dtype), math.inf))
+        for k in sorted(verts):
+            g.poses.append(verts[k])
+        return g
+
+
+def _sqrt_info(info, dim, dtype):
+    """Upper-triangular square root of an information matrix (scalar,
+    diagonal, or full)."""
+    info = np.asarray(info, dtype=dtype)
+    if info.ndim == 0:
+        info = np.eye(dim, dtype=dtype) * info
+    elif info.ndim == 1:
+        info = np.diag(info)
+    # symmetrize and Cholesky; fall back to sqrt of diagonal
+    info = 0.5 * (info + info.T)
+    try:
+        L = np.linalg.cholesky(info + 1e-15 * np.eye(dim))
+        return L.T.astype(dtype)
+    except np.linalg.LinAlgError:
+        return np.diag(np.sqrt(np.maximum(np.diag(info), 0.0))).astype(dtype)

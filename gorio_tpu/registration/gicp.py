@@ -1,0 +1,248 @@
+"""Batched GICP-family registration: FastGICP / FastAPDGICP equivalents.
+
+TPU-native counterpart of `fast_apdgicp/include/fast_gicp/gicp/impl/
+fast_gicp_impl.hpp` and `fast_apdgicp_impl.hpp` (SURVEY.md §2 #18/#19) and of
+the CUDA pipeline (#21): kNN covariance estimation, per-iteration 1-NN
+correspondences, APD polar measurement covariance, fused Mahalanobis +
+residual + H/b reduction — all as masked batched array ops feeding the shared
+LM driver in `lsq.py`.
+
+Everything is jittable; `vmap` the top-level aligners over pairs to batch
+(e.g. loop-closure candidate verification).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.pointcloud import PointCloud
+from .knn import knn, nn1
+from .lsq import LMConfig, LMResult, lm_optimize
+
+
+class GICPConfig(NamedTuple):
+    k_correspondences: int = 20  # `fast_apdgicp_impl.hpp:21`
+    max_correspondence_distance: float = jnp.inf
+    # APD polar covariance parameters (`fast_apdgicp.hpp:116-118` defaults,
+    # launch files set dist_var=0.86, az=0.5 deg, el=1.0 deg)
+    dist_var: float = 0.86
+    azimuth_var_deg: float = 0.5
+    elevation_var_deg: float = 1.0
+    plane_eps: float = 1e-3  # PLANE regularization smallest eigenvalue
+    lm: LMConfig = LMConfig()
+    mode: str = "apdgicp"  # "gicp" | "apdgicp"
+
+
+def knn_covariances(xyz, mask, k: int = 20, plane_eps: float = 1e-3, block: int = 512):
+    """Per-point neighborhood covariances with PLANE regularization.
+
+    Parity with `calculate_covariances` (`fast_apdgicp_impl.hpp:351-411`):
+    kNN -> covariance -> SVD -> eigenvalues replaced by (1, 1, eps).
+    Returns (N, 3, 3)."""
+    idx, _ = knn(xyz, xyz, k, ref_mask=mask, block=block)
+    neigh = xyz[idx]  # (N, k, 3)
+    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    centered = neigh - mean
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    # PLANE regularization: keep the eigenbasis, clamp the spectrum
+    U, s, Vt = jnp.linalg.svd(cov, full_matrices=False)
+    values = jnp.broadcast_to(jnp.array([1.0, 1.0, plane_eps], xyz.dtype), s.shape)
+    reg = jnp.einsum("nij,nj,njk->nik", U, values, Vt)
+    # geo weight needs the *normalized* smallest singular value of the raw cov
+    # (`fast_apdgicp_impl.hpp:266-269`)
+    geo_w = s[:, 2] / jnp.maximum(s[:, 0], 1e-30)
+    return reg, geo_w
+
+
+def apd_polar_cov(pts, dist_var, azimuth_var_deg, elevation_var_deg):
+    """Range-dependent polar measurement covariance (the "APD" in APDGICP).
+
+    Parity with `fast_apdgicp_impl.hpp:193-210`: scale
+    s = (d*dist_var/400, d*sin(az), d*sin(el)) rotated into the ray frame by
+    R = Rz(azimuth) Ry(elevation). pts (..., 3) -> (..., 3, 3)."""
+    d = jnp.linalg.norm(pts, axis=-1)
+    s_x = d * dist_var / 400.0
+    s_y = d * jnp.sin(jnp.deg2rad(azimuth_var_deg))
+    s_z = d * jnp.sin(jnp.deg2rad(elevation_var_deg))
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    elevation = jnp.arctan2(jnp.sqrt(x * x + y * y), z)
+    azimuth = jnp.arctan2(y, x)
+    cy, sy = jnp.cos(azimuth), jnp.sin(azimuth)
+    cp, sp = jnp.cos(elevation), jnp.sin(elevation)
+    # R = Rz(azimuth) @ Ry(elevation)
+    Rz = jnp.stack(
+        [
+            jnp.stack([cy, -sy, jnp.zeros_like(cy)], -1),
+            jnp.stack([sy, cy, jnp.zeros_like(cy)], -1),
+            jnp.stack([jnp.zeros_like(cy), jnp.zeros_like(cy), jnp.ones_like(cy)], -1),
+        ],
+        -2,
+    )
+    Ry = jnp.stack(
+        [
+            jnp.stack([cp, jnp.zeros_like(cp), sp], -1),
+            jnp.stack([jnp.zeros_like(cp), jnp.ones_like(cp), jnp.zeros_like(cp)], -1),
+            jnp.stack([-sp, jnp.zeros_like(cp), cp], -1),
+        ],
+        -2,
+    )
+    R = Rz @ Ry
+    A = R * jnp.stack([s_x, s_y, s_z], -1)[..., None, :]
+    return A @ jnp.swapaxes(A, -1, -2)
+
+
+def _inv3(M):
+    """Closed-form batched 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], -1),
+            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+class GICPProblem(NamedTuple):
+    """Precomputed per-pair state (covariances, weights, clusters)."""
+
+    src_xyz: jax.Array
+    src_mask: jax.Array
+    src_cov: jax.Array  # (N, 3, 3)
+    src_geo_w: jax.Array  # (N,)
+    src_cluster: jax.Array
+    tgt_xyz: jax.Array
+    tgt_mask: jax.Array
+    tgt_cov: jax.Array
+    tgt_cluster: jax.Array
+
+
+def prepare_gicp(source: PointCloud, target: PointCloud, cfg: GICPConfig) -> GICPProblem:
+    src_cov, src_geo = knn_covariances(
+        source.xyz, source.mask, cfg.k_correspondences, cfg.plane_eps
+    )
+    tgt_cov, _ = knn_covariances(target.xyz, target.mask, cfg.k_correspondences, cfg.plane_eps)
+    return GICPProblem(
+        src_xyz=source.xyz,
+        src_mask=source.mask,
+        src_cov=src_cov,
+        src_geo_w=src_geo,
+        src_cluster=source.cluster,
+        tgt_xyz=target.xyz,
+        tgt_mask=target.mask,
+        tgt_cov=tgt_cov,
+        tgt_cluster=target.cluster,
+    )
+
+
+def _correspondences(prob: GICPProblem, T, cfg: GICPConfig):
+    """1-NN + Mahalanobis; parity with `update_correspondences`
+    (`fast_apdgicp_impl.hpp:160-220`)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = prob.src_xyz @ R.T + t
+    idx, sqd = nn1(moved, prob.tgt_xyz, ref_mask=prob.tgt_mask)
+    ok = (
+        prob.src_mask
+        & (sqd < cfg.max_correspondence_distance**2)
+        & prob.tgt_mask[idx]
+    )
+    cov_A = prob.src_cov
+    cov_B = prob.tgt_cov[idx]
+    if cfg.mode == "apdgicp":
+        cov_d = apd_polar_cov(moved, cfg.dist_var, cfg.azimuth_var_deg, cfg.elevation_var_deg)
+        cov_A = cov_A + cov_d
+        cov_B = cov_B + cov_d
+    RCR = cov_B + R @ cov_A @ R.T  # (N, 3, 3) via broadcasting
+    mah = _inv3(RCR)
+    # weights (`fast_apdgicp_impl.hpp:264-276`): 1 + geo + cluster bonus
+    cl_w = jnp.where(
+        (prob.tgt_cluster[idx] == prob.src_cluster) & (prob.src_cluster >= 0.0),
+        1.0 / prob.src_xyz.shape[0],
+        0.0,
+    )
+    w = 1.0 + prob.src_geo_w + cl_w
+    return idx, ok, mah, w, moved
+
+
+def _error_terms(prob: GICPProblem, T, idx, ok, mah, w):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = prob.src_xyz @ R.T + t
+    err = prob.tgt_xyz[idx] - moved  # (N, 3)
+    m_err = jnp.einsum("nij,nj->ni", mah, err)
+    cost = jnp.sum(jnp.where(ok, w * jnp.einsum("ni,ni->n", err, m_err), 0.0))
+    return moved, err, m_err, cost
+
+
+def make_gicp_callbacks(prob: GICPProblem, cfg: GICPConfig):
+    """Build (linearize, compute_error) for `lm_optimize`.
+
+    Parity with `FastAPDGICP::linearize` / `compute_error`
+    (`fast_apdgicp_impl.hpp:224-346`); note the reference weights the *cost*
+    with (1+geo+cl) but not H/b — reproduced here."""
+
+    def linearize(T):
+        idx, ok, mah, w, _ = _correspondences(prob, T, cfg)
+        moved, err, m_err, cost = _error_terms(prob, T, idx, ok, mah, w)
+        # J (3x6) rows: d(err)/d[d_rot, d_trans] = [skew(moved), -I]
+        sk = lie.hat(moved)  # (N, 3, 3)
+        okf = ok.astype(moved.dtype)
+        # H = sum J^T M J with J = [sk | -I]
+        MS = mah @ sk  # (N, 3, 3) = M @ skew
+        H_rr = jnp.einsum("nji,njk,n->ik", sk, MS, okf)
+        H_rt = -jnp.einsum("nji,njk,n->ik", sk, mah, okf)
+        H_tt = jnp.einsum("nij,n->ij", mah, okf)
+        H = jnp.block([[H_rr, H_rt], [H_rt.T, H_tt]])
+        b_r = jnp.einsum("nji,nj,n->i", sk, m_err, okf)
+        b_t = -jnp.einsum("ni,n->i", m_err, okf)
+        b = jnp.concatenate([b_r, b_t])
+        aux = (idx, ok, mah, w)
+        return cost, H, b, aux
+
+    def compute_error(T, aux):
+        idx, ok, mah, w = aux
+        _, _, _, cost = _error_terms(prob, T, idx, ok, mah, w)
+        return cost
+
+    return linearize, compute_error
+
+
+def gicp_align(
+    source: PointCloud,
+    target: PointCloud,
+    init_T=None,
+    cfg: GICPConfig = GICPConfig(),
+) -> LMResult:
+    """Full APDGICP/GICP alignment source -> target. Returns T mapping source
+    points into the target frame."""
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=source.xyz.dtype)
+    prob = prepare_gicp(source, target, cfg)
+    linearize, compute_error = make_gicp_callbacks(prob, cfg)
+    return lm_optimize(linearize, compute_error, init_T, cfg.lm)
+
+
+def fitness_score(source: PointCloud, target: PointCloud, T, max_range: float = 1.0):
+    """Mean squared NN distance of inliers; parity with
+    `pcl::Registration::getFitnessScore` as used by the loop detector and
+    `InformationMatrixCalculator::calc_fitness_score`
+    (`information_matrix_calculator.cpp:55-86`)."""
+    moved = source.xyz @ T[:3, :3].T + T[:3, 3]
+    _, sqd = nn1(moved, target.xyz, ref_mask=target.mask)
+    ok = source.mask & (sqd < max_range * max_range)
+    n = jnp.maximum(jnp.sum(ok), 1)
+    return jnp.sum(jnp.where(ok, sqd, 0.0)) / n, n

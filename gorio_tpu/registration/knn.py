@@ -1,0 +1,65 @@
+"""Brute-force nearest-neighbor search, blocked for TPU.
+
+Replaces the reference's kd-trees (pcl::search::KdTree + nanoflann, SURVEY.md
+§2 #13/#18) and the CUDA brute-force kNN (`fast_apdgicp/src/fast_gicp/cuda/
+brute_force_knn.cu`): distances are computed block-by-block as
+|q|^2 + |r|^2 - 2 q.r^T (one MXU matmul per block) with masked padding, then
+reduced with argmin / top_k. O(N*M) flops but MXU-friendly and exact — at SLAM
+scan sizes (2-30k points) this beats tree traversal on TPU by orders of
+magnitude. `block` bounds the (block, M) distance tile living in VMEM/HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1.0e12
+
+
+def _block_dists(q_blk, ref, ref_valid_bias):
+    """Squared distances (B, M) with invalid refs pushed to +inf."""
+    qq = jnp.sum(q_blk * q_blk, axis=-1, keepdims=True)
+    rr = jnp.sum(ref * ref, axis=-1)[None, :]
+    d2 = qq + rr - 2.0 * (q_blk @ ref.T)
+    return jnp.maximum(d2, 0.0) + ref_valid_bias[None, :]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def nn1(query, ref, ref_mask=None, block: int = 1024):
+    """1-NN: returns (idx (N,), sqdist (N,)). Exact."""
+    n = query.shape[0]
+    pad = (-n) % block
+    q = jnp.concatenate([query, jnp.zeros((pad, 3), query.dtype)], axis=0)
+    bias = jnp.zeros((ref.shape[0],), query.dtype)
+    if ref_mask is not None:
+        bias = jnp.where(ref_mask, 0.0, _BIG)
+
+    def one_block(q_blk):
+        d2 = _block_dists(q_blk, ref, bias)
+        idx = jnp.argmin(d2, axis=-1)
+        return idx, jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+
+    idx, d2 = jax.lax.map(one_block, q.reshape(-1, block, 3))
+    return idx.reshape(-1)[:n], d2.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def knn(query, ref, k: int, ref_mask=None, block: int = 512):
+    """k-NN: returns (idx (N,k), sqdist (N,k)), ascending by distance."""
+    n = query.shape[0]
+    pad = (-n) % block
+    q = jnp.concatenate([query, jnp.zeros((pad, 3), query.dtype)], axis=0)
+    bias = jnp.zeros((ref.shape[0],), query.dtype)
+    if ref_mask is not None:
+        bias = jnp.where(ref_mask, 0.0, _BIG)
+
+    def one_block(q_blk):
+        d2 = _block_dists(q_blk, ref, bias)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return idx, -neg
+
+    idx, d2 = jax.lax.map(one_block, q.reshape(-1, block, 3))
+    return idx.reshape(-1, k)[:n], d2.reshape(-1, k)[:n]
