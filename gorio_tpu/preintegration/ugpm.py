@@ -83,12 +83,16 @@ def _unwrap_scan(r_seq):
     stay close (parity: `addN2Pi`/`getClosest`, `math_utils.h:385-412`)."""
 
     def step(prev, r):
-        norm = jnp.linalg.norm(r)
-        unit = r / jnp.maximum(norm, 1e-12)
+        # safe unit vector: max() gates the tangent at r = 0, and the
+        # tie-break bias below keeps the (clean-tangent) unshifted candidate
+        # selected in the degenerate case
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r), 1e-18))
+        unit = r / norm
         cands = jnp.stack(
-            [unit * (norm - 2 * jnp.pi), r, unit * (norm + 2 * jnp.pi)], axis=0
+            [r - unit * (2 * jnp.pi), r, r + unit * (2 * jnp.pi)], axis=0
         )
         d = jnp.linalg.norm(cands - prev, axis=-1)
+        d = d + jnp.array([1e-9, 0.0, 1e-9], r.dtype)
         best = cands[jnp.argmin(d)]
         return best, best
 
