@@ -42,12 +42,17 @@ def vee(M):
 
 def _sinc_coeffs(theta2):
     """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3) with Taylor
-    fallbacks for small angles. theta2 = |r|^2."""
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
+    fallbacks for small angles. theta2 = |r|^2.
+
+    All denominators use the clamped theta2 so the non-selected branch stays
+    finite-valued and finite-gradient at 0 (otherwise `where` leaks NaN in
+    reverse mode)."""
+    t2 = jnp.maximum(theta2, _EPS)
+    theta = jnp.sqrt(t2)
     small = theta2 < _EPS
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (t2 * theta))
     return a, b, c
 
 
@@ -70,7 +75,10 @@ def so3_log(R):
     R + R^T to recover the axis when sin(theta) ~ 0).
     Parity: `math_utils.h:48` (logMap)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # keep strictly inside (-1, 1): arccos has an infinite derivative at the
+    # endpoints, which leaks NaN through `where` in reverse-mode autodiff; the
+    # value change is ~1e-5 rad, below every consumer's tolerance
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-14, 1.0 - 1e-14)
     theta = jnp.arccos(cos_t)
     # Generic case: r = theta/(2 sin theta) * vee(R - R^T)
     w = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
@@ -78,8 +86,11 @@ def so3_log(R):
     generic_scale = jnp.where(sin_t > 1e-6, theta / jnp.maximum(2.0 * sin_t, 1e-30), 0.5)
     r_generic = generic_scale[..., None] * w
 
-    # Near pi: axis from largest diagonal of (R + I)/2 = aa^T approx
-    B = 0.5 * (R + jnp.swapaxes(R, -1, -2)) + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape) * 0.0
+    # Near pi: axis from the largest diagonal of (R + I)/2 = aa^T (at theta=pi
+    # exactly, R = 2 aa^T - I); symmetrize first for robustness
+    B = 0.25 * (R + jnp.swapaxes(R, -1, -2)) + 0.5 * jnp.broadcast_to(
+        jnp.eye(3, dtype=R.dtype), R.shape
+    )
     # a_i^2 = (B_ii + 1)/2 relation via R = 2 aa^T - I at theta = pi
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.maximum((diag + 1.0) * 0.5, 0.0)
@@ -93,7 +104,8 @@ def so3_log(R):
     sgn = jnp.where(jnp.sum(axis_pi * w, axis=-1) < 0, -1.0, 1.0)
     r_pi = (theta * sgn)[..., None] * axis_pi
 
-    near_pi = sin_t <= 1e-6
+    # (threshold must exceed the sin of the clipped-theta saturation ~1.4e-5)
+    near_pi = sin_t <= 1e-4
     big_angle = theta > 1.0  # only trust the pi-branch for genuinely large angles
     return jnp.where((near_pi & big_angle)[..., None], r_pi, r_generic)
 

@@ -1,0 +1,219 @@
+"""Loop detection: candidate gating + Scan Context + registration verification.
+
+TPU-native counterpart of `LoopDetector`
+(`src/radar_graph_slam/loop_detector.cpp`, SURVEY.md §2 #12). The candidate
+prefilter (`find_candidates`, `:139-189`), odometry check (`:249-267`) and
+pairwise consistency check (`:270-297`) operate on per-keyframe metadata and
+are expressed as masked array ops; Scan Context matching and APDGICP
+verification reuse the batched modules. The host-side `LoopDetector` class
+orchestrates (the counterpart of the optimization-timer thread driving it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.pointcloud import PointCloud
+from ..registration.gicp import GICPConfig, gicp_align
+from .information import InformationConfig, calc_information_matrix
+from .scancontext import ScanContextConfig, ScanContextDB, detect_loop, make_scancontext
+
+
+class LoopConfig(NamedTuple):
+    """Defaults mirror `loop_detector.hpp` params + ntu launch values."""
+
+    distance_thresh: float = 15.0
+    accum_distance_thresh: float = 25.0
+    min_loop_interval_dist: float = 15.0
+    max_yaw_difference_deg: float = 95.0
+    max_baro_difference: float = 2.0
+    odom_drift_xy: float = 0.05
+    odom_drift_z: float = 0.02
+    drift_scale_xy: float = 2.0
+    drift_scale_z: float = 2.0
+    fitness_thresh: float = 2.5
+    enable_odom_check: bool = True
+    odom_check_trans_thresh: float = 0.3
+    odom_check_rot_thresh: float = 0.05
+    pairwise_check_trans_thresh: float = 3.0
+    pairwise_check_rot_thresh: float = 0.3
+
+
+class Loop(NamedTuple):
+    """A verified loop closure (parity: `Loop` struct, `loop_detector.hpp:27`)."""
+
+    key_new: int
+    key_old: int
+    T_rel: np.ndarray  # (4,4): old_T_new (relative pose for the between factor)
+    information: np.ndarray  # (6,6)
+    fitness: float
+
+
+def candidate_mask(
+    new_pos,
+    new_yaw,
+    new_accum,
+    cand_pos,
+    cand_yaw,
+    cand_accum,
+    dist_since_last_loop,
+    cfg: LoopConfig,
+):
+    """Vectorized `find_candidates` gates (`loop_detector.cpp:139-189`):
+    accumulated-distance, yaw-difference, drift-scaled ellipse (both the
+    since-last-loop and the accumulated-distance ellipses)."""
+    accum_d = new_accum - cand_accum
+    ok = accum_d > cfg.accum_distance_thresh
+    yaw_diff = jnp.abs(
+        jnp.mod(new_yaw - cand_yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+    )
+    ok &= jnp.rad2deg(yaw_diff) < cfg.max_yaw_difference_deg
+    diff = new_pos[None, :] - cand_pos
+    rad_lle = 3.0 + dist_since_last_loop * cfg.odom_drift_xy * cfg.drift_scale_xy
+    aa_lle = (diff[:, 0] / rad_lle) ** 2 + (diff[:, 1] / rad_lle) ** 2
+    ok &= aa_lle <= 1.0
+    rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
+    aa = (diff[:, 0] / rad_xy) ** 2 + (diff[:, 1] / rad_xy) ** 2
+    ok &= aa <= 1.0
+    return ok
+
+
+def odometry_check(T_loop_ij, odom_new, odom_old, idx_new, idx_old, cfg: LoopConfig):
+    """Per-edge drift bound (`loop_detector.cpp:249-267`)."""
+    T_odom_ji = np.linalg.inv(odom_new) @ odom_old
+    T_err = np.asarray(T_loop_ij) @ T_odom_ji
+    n = max(idx_new - idx_old, 1)
+    trans_err = np.linalg.norm(T_err[:3, 3]) / n
+    rot_err = float(
+        lie.rotation_geodesic_angle(jnp.asarray(T_err[:3, :3]), jnp.eye(3))
+    ) / n
+    return trans_err <= cfg.odom_check_trans_thresh and rot_err <= cfg.odom_check_rot_thresh
+
+
+def pairwise_consistency_check(
+    T_loop_ij, odom_li, T_loop_kl_inv, odom_jk, cfg: LoopConfig
+):
+    """Consistency vs the previous loop (`loop_detector.cpp:270-297`)."""
+    T_err = np.asarray(T_loop_ij) @ odom_li @ T_loop_kl_inv @ odom_jk
+    trans_err = np.linalg.norm(T_err[:3, 3])
+    rot_err = float(lie.rotation_geodesic_angle(jnp.asarray(T_err[:3, :3]), jnp.eye(3)))
+    return (
+        trans_err <= cfg.pairwise_check_trans_thresh
+        and rot_err <= cfg.pairwise_check_rot_thresh
+    )
+
+
+@dataclass
+class LoopDetector:
+    """Host-side orchestrator over the jitted kernels."""
+
+    cfg: LoopConfig = LoopConfig()
+    sc_cfg: ScanContextConfig = ScanContextConfig()
+    gicp_cfg: GICPConfig = GICPConfig()
+    info_cfg: InformationConfig = InformationConfig()
+    capacity: int = 1024
+    db: Optional[ScanContextDB] = None
+    last_loop_accum: float = 0.0
+    loops: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.db is None:
+            self.db = ScanContextDB.create(self.capacity, self.sc_cfg)
+
+    def add_keyframe(self, cloud: PointCloud):
+        """Parity: `makeAndSaveScancontextAndKeys` feeding from the backend."""
+        desc = make_scancontext(cloud, self.sc_cfg).astype(self.db.descs.dtype)
+        self.db = self.db.add(desc)
+
+    def detect(
+        self,
+        new_index: int,
+        new_cloud: PointCloud,
+        keyframe_clouds,
+        keyframe_poses,
+        keyframe_odoms,
+        keyframe_accum,
+    ) -> Optional[Loop]:
+        """Run the full gate chain for one new keyframe (whose descriptor must
+        already be in the DB at `new_index`)."""
+        cfg = self.cfg
+        poses = np.asarray(keyframe_poses)
+        accum = np.asarray(keyframe_accum)
+        new_accum = accum[new_index]
+        dist_since = new_accum - self.last_loop_accum
+        if dist_since < cfg.min_loop_interval_dist:
+            return None
+
+        desc = self.db.descs[new_index]
+        # restrict eligibility to gated candidates by masking ring keys: we run
+        # SC detection first (cheap), then re-check the gates for the match
+        match, yaw, sc_dist = detect_loop(
+            self.db._replace(count=jnp.asarray(new_index, jnp.int32)), desc, self.sc_cfg
+        )
+        match = int(match)
+        if match < 0:
+            return None
+        yaws_new = np.asarray(lie.mat_to_ypr(jnp.asarray(poses[new_index][:3, :3]))[0])
+        yaws_old = np.asarray(lie.mat_to_ypr(jnp.asarray(poses[match][:3, :3]))[0])
+        ok = candidate_mask(
+            jnp.asarray(poses[new_index][:3, 3]),
+            jnp.asarray(yaws_new),
+            jnp.asarray(new_accum),
+            jnp.asarray(poses[match][:3, 3])[None, :],
+            jnp.asarray([yaws_old]),
+            jnp.asarray([accum[match]]),
+            dist_since,
+            cfg,
+        )
+        if not bool(ok[0]):
+            return None
+
+        # registration verification (`:222-244`): align new (source) to old
+        res = gicp_align(new_cloud, keyframe_clouds[match], cfg=self.gicp_cfg)
+        info, fitness = calc_information_matrix(
+            new_cloud, keyframe_clouds[match], res.T, self.info_cfg
+        )
+        if not bool(res.converged) or float(fitness) > cfg.fitness_thresh:
+            return None
+        T_rel = np.asarray(res.T)  # maps new-frame points into old frame
+
+        if cfg.enable_odom_check:
+            T_loop_ij = np.linalg.inv(T_rel)
+            if not odometry_check(
+                T_loop_ij,
+                np.asarray(keyframe_odoms[new_index]),
+                np.asarray(keyframe_odoms[match]),
+                new_index,
+                match,
+                cfg,
+            ):
+                return None
+        if self.loops:
+            prev = self.loops[-1]
+            odom_li = np.linalg.inv(np.asarray(keyframe_odoms[match])) @ np.asarray(
+                keyframe_odoms[prev.key_new]
+            )
+            odom_jk = np.linalg.inv(np.asarray(keyframe_odoms[prev.key_old])) @ np.asarray(
+                keyframe_odoms[new_index]
+            )
+            if not pairwise_consistency_check(
+                np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg
+            ):
+                return None
+
+        loop = Loop(
+            key_new=new_index,
+            key_old=match,
+            T_rel=T_rel,
+            information=np.asarray(info),
+            fitness=float(fitness),
+        )
+        self.loops.append(loop)
+        self.last_loop_accum = float(new_accum)
+        return loop

@@ -1,0 +1,283 @@
+"""Radar graph-SLAM back-end driver.
+
+TPU-native counterpart of `RadarGraphSlamNodelet`
+(`apps/radar_graph_slam_nodelet.cpp`, SURVEY.md §3.3-3.4): keyframe selection,
+GP velocity preintegration between keyframes (`preIntegrationTransform`,
+`:363-520`), pose-graph construction (odometry between-factors with
+fitness-based information, preintegration between-factors, GPS priors, loop
+factors with Huber), periodic optimization, and trajectory/map export.
+
+The host object replaces the nodelet's timer threads + mutex-guarded deques:
+`add_frame` is the 10 Hz keyframe path, `optimize` is the 2-3 s timer body.
+All numerics (preintegration, registration, graph solve) run as jitted
+fixed-shape programs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.pointcloud import PointCloud
+from ..graph.graph import PoseGraph
+from ..graph.solver import SolveConfig, optimize_graph
+from ..loopclosure.information import InformationConfig, calc_information_matrix
+from ..loopclosure.loop_detector import LoopConfig, LoopDetector
+from ..preintegration.lpm import lpm_preintegrate
+from ..preintegration.ugpm import UGPMConfig, ugpm_preintegrate
+from .keyframes import KeyFrame, KeyframeUpdater
+
+
+class SLAMConfig(NamedTuple):
+    keyframe_delta_trans: float = 0.25
+    keyframe_delta_angle: float = 0.15
+    max_keyframes_per_update: int = 10
+    enable_preintegration: bool = True
+    preint_mode: str = "lpm"  # "lpm" | "ugpm"
+    preint_grid_n: int = 256
+    preint_window_samples: int = 256  # fixed gyro-sample count per window
+    preint_vel_samples: int = 64
+    ugpm: UGPMConfig = UGPMConfig()
+    gyr_var: float = 1e-4
+    vel_var: float = 1e-3
+    enable_loop_closure: bool = True
+    loop: LoopConfig = LoopConfig()
+    info: InformationConfig = InformationConfig()
+    loop_robust_delta: float = 1.0  # Huber on loop edges (`:836-852`)
+    gps_xy_info: float = 25.0
+    gps_z_info: float = 4.0
+    anchor_info: float = 1e6
+    solve: SolveConfig = SolveConfig(max_iterations=30)
+
+
+class GPSMeasurement(NamedTuple):
+    stamp: float
+    xyz: np.ndarray  # world/UTM-aligned position
+    has_z: bool
+
+
+@dataclass
+class RadarGraphSLAM:
+    cfg: SLAMConfig = SLAMConfig()
+    keyframes: list = field(default_factory=list)
+    updater: KeyframeUpdater = None
+    loop_detector: LoopDetector = None
+    # measurement buffers (parity: imu_queue / twist buffers)
+    gyr_t: list = field(default_factory=list)
+    gyr: list = field(default_factory=list)
+    vel_t: list = field(default_factory=list)
+    vel: list = field(default_factory=list)
+    gps_queue: list = field(default_factory=list)
+    loops: list = field(default_factory=list)
+    _opt_poses: Optional[np.ndarray] = None
+    trans_odom2map: np.ndarray = field(default_factory=lambda: np.eye(4))
+
+    def __post_init__(self):
+        if self.updater is None:
+            self.updater = KeyframeUpdater(
+                delta_trans=self.cfg.keyframe_delta_trans,
+                delta_angle=self.cfg.keyframe_delta_angle,
+                delta_time=np.inf,
+            )
+        if self.loop_detector is None:
+            self.loop_detector = LoopDetector(cfg=self.cfg.loop, info_cfg=self.cfg.info)
+
+    # ---- measurement ingestion ------------------------------------------
+    def push_imu(self, t: float, gyro):
+        self.gyr_t.append(float(t))
+        self.gyr.append(np.asarray(gyro))
+
+    def push_twist(self, t: float, vel):
+        self.vel_t.append(float(t))
+        self.vel.append(np.asarray(vel))
+
+    def push_gps(self, t: float, xyz, has_z: bool = True):
+        self.gps_queue.append(GPSMeasurement(t, np.asarray(xyz), has_z))
+
+    # ---- keyframe path (`cloud_handler_callback`, `:626-743`) ------------
+    def add_frame(self, stamp: float, cloud: PointCloud, odom_pose: np.ndarray) -> bool:
+        if not self.updater.decide(odom_pose, stamp):
+            return False
+        kf = KeyFrame(
+            index=len(self.keyframes),
+            stamp=stamp,
+            odom_scan2scan=np.asarray(odom_pose),
+            accum_distance=self.updater.accum_distance,
+            cloud=cloud,
+        )
+        if self.cfg.enable_preintegration and self.keyframes:
+            prev = self.keyframes[-1]
+            meas = self._preintegrate(prev.stamp, stamp)
+            if meas is not None:
+                kf.trans_integrated = meas[0]
+                kf.preint_cov = meas[1]
+        self.keyframes.append(kf)
+        if self.cfg.enable_loop_closure:
+            self.loop_detector.add_keyframe(cloud)
+        return True
+
+    def _preintegrate(self, t0: float, t1: float):
+        """GP preintegration over [t0, t1] (`preIntegrationTransform`)."""
+        gyr_t = np.asarray(self.gyr_t)
+        vel_t = np.asarray(self.vel_t)
+        if gyr_t.size < 4 or vel_t.size < 4:
+            return None
+        pad = 0.2
+        G = self.cfg.preint_window_samples
+        V = self.cfg.preint_vel_samples
+        i_g = int(np.searchsorted(gyr_t, t0 - pad))
+        i_v = int(np.searchsorted(vel_t, t0 - pad))
+        g_sl = slice(max(0, min(i_g, gyr_t.size - G)), None)
+        v_sl = slice(max(0, min(i_v, vel_t.size - V)), None)
+        gt = gyr_t[g_sl][:G]
+        vt = vel_t[v_sl][:V]
+        if gt.size < 4 or vt.size < 4 or gt[-1] < t1 or vt[-1] < t1:
+            return None
+        gd = np.stack(self.gyr)[g_sl][:G]
+        vd = np.stack(self.vel)[v_sl][:V]
+        # pad to fixed shapes by repeating the last sample (the integrator
+        # interpolates; samples beyond the window are inert)
+        if gt.size < G:
+            rep = G - gt.size
+            gt = np.concatenate([gt, gt[-1] + 1e-3 * (1 + np.arange(rep))])
+            gd = np.concatenate([gd, np.repeat(gd[-1:], rep, axis=0)])
+        if vt.size < V:
+            rep = V - vt.size
+            vt = np.concatenate([vt, vt[-1] + 1e-3 * (1 + np.arange(rep))])
+            vd = np.concatenate([vd, np.repeat(vd[-1:], rep, axis=0)])
+
+        if self.cfg.preint_mode == "ugpm":
+            meas = ugpm_preintegrate(
+                jnp.asarray(gt), jnp.asarray(gd), jnp.asarray(vt), jnp.asarray(vd),
+                t0, jnp.asarray([t1]), self.cfg.gyr_var, self.cfg.vel_var, self.cfg.ugpm,
+            )
+        else:
+            meas = lpm_preintegrate(
+                jnp.asarray(gt), jnp.asarray(gd), jnp.asarray(vt), jnp.asarray(vd),
+                t0, jnp.asarray([t1]), self.cfg.gyr_var, self.cfg.vel_var,
+                grid_n=self.cfg.preint_grid_n,
+            )
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(meas.delta_R[0])
+        T[:3, 3] = np.asarray(meas.delta_p[0])
+        return T, np.asarray(meas.cov[0])
+
+    # ---- optimization cycle (`optimization_timer_callback`, `:750-834`) --
+    def optimize(self) -> Optional[np.ndarray]:
+        if len(self.keyframes) < 2:
+            return None
+        g = PoseGraph()
+        for kf in self.keyframes:
+            init = kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
+            g.add_pose(init)
+        g.add_prior(0, self.keyframes[0].odom_scan2scan, info=np.eye(6) * self.cfg.anchor_info)
+
+        for k in range(1, len(self.keyframes)):
+            prev, curr = self.keyframes[k - 1], self.keyframes[k]
+            rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
+            info, _ = calc_information_matrix(
+                curr.cloud, prev.cloud, jnp.asarray(rel), self.cfg.info
+            )
+            g.add_between(k - 1, k, rel, info=np.asarray(info))
+            if curr.trans_integrated is not None:
+                # stddev-diag information from the preint covariance (`:596-612`)
+                var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
+                g.add_between(k - 1, k, curr.trans_integrated, info=np.diag(1.0 / var))
+
+        # loop detection on recent keyframes (`:770-779`)
+        if self.cfg.enable_loop_closure and len(self.keyframes) > 3:
+            poses = [
+                kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
+                for kf in self.keyframes
+            ]
+            new_kf = self.keyframes[-1]
+            loop = self.loop_detector.detect(
+                new_kf.index,
+                new_kf.cloud,
+                [kf.cloud for kf in self.keyframes],
+                np.stack(poses),
+                np.stack([kf.odom_scan2scan for kf in self.keyframes]),
+                np.asarray([kf.accum_distance for kf in self.keyframes]),
+            )
+            if loop is not None:
+                self.loops.append(loop)
+        for loop in self.loops:
+            # edge old->new measuring old_T_new = T_rel (`addLoopFactor`)
+            g.add_between(
+                loop.key_old,
+                loop.key_new,
+                loop.T_rel,
+                info=loop.information,
+                robust_delta=self.cfg.loop_robust_delta,
+            )
+
+        # GPS priors (`flush_gps_queue`, `:1248-1327`): associate by stamp
+        stamps = np.asarray([kf.stamp for kf in self.keyframes])
+        for gps in self.gps_queue:
+            k = int(np.argmin(np.abs(stamps - gps.stamp)))
+            if abs(stamps[k] - gps.stamp) > 0.2:
+                continue
+            axes = (1, 1, 1) if gps.has_z else (1, 1, 0)
+            info3 = np.diag(
+                [self.cfg.gps_xy_info, self.cfg.gps_xy_info, self.cfg.gps_z_info]
+            )
+            g.add_point_prior(k, gps.xyz, info=info3, axes=axes)
+
+        poses0, graph = g.freeze()
+        res = optimize_graph(poses0, graph, self.cfg.solve)
+        opt = np.asarray(res.poses)
+        for k, kf in enumerate(self.keyframes):
+            kf.optimized_pose = opt[k]
+        self._opt_poses = opt
+        # map<-odom correction (`trans_odom2map`)
+        last = self.keyframes[-1]
+        self.trans_odom2map = last.optimized_pose @ np.linalg.inv(last.odom_scan2scan)
+        return opt
+
+    # ---- outputs ---------------------------------------------------------
+    def trajectory(self):
+        """(stamps, poses) using optimized poses where available."""
+        stamps = np.asarray([kf.stamp for kf in self.keyframes])
+        poses = np.stack(
+            [
+                kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
+                for kf in self.keyframes
+            ]
+        )
+        return stamps, poses
+
+    def save(self, directory: str):
+        """Dump graph + keyframes (parity: `DumpGraph` service, `:1129-1208`)."""
+        os.makedirs(directory, exist_ok=True)
+        g = PoseGraph()
+        for kf in self.keyframes:
+            g.add_pose(kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan)
+        for k in range(1, len(self.keyframes)):
+            prev, curr = self.keyframes[k - 1], self.keyframes[k]
+            rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
+            g.add_between(k - 1, k, rel, info=np.eye(6))
+        g.save(os.path.join(directory, "graph.g2o"))
+        for kf in self.keyframes:
+            kf.save(os.path.join(directory, f"{kf.index:06d}"))
+
+    def generate_map(self, resolution: float = 0.1, max_range: float = 50.0):
+        """Concatenate pose-transformed keyframe clouds + voxel downsample
+        (parity: `MapCloudGenerator::generate`)."""
+        from ..core.pointcloud import make_cloud, voxel_downsample
+
+        pts = []
+        for kf in self.keyframes:
+            T = kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
+            xyz = np.asarray(kf.cloud.xyz)
+            m = np.asarray(kf.cloud.mask)
+            r = np.linalg.norm(xyz, axis=-1)
+            keep = m & (r < max_range)
+            pts.append(xyz[keep] @ T[:3, :3].T + T[:3, 3])
+        allpts = np.concatenate(pts, axis=0)
+        cloud = make_cloud(allpts)
+        return voxel_downsample(cloud, resolution, capacity=allpts.shape[0])

@@ -1,0 +1,123 @@
+"""End-to-end slice (SURVEY.md §7 milestone 1): synthetic radar+gyro sequence
+-> ego-velocity -> APDGICP scan-to-scan odometry -> keyframe factor graph with
+between + GP-preintegration factors -> GN solve -> ATE vs ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gorio_tpu.estimators.egovel import EgoVelConfig, estimate_ego_velocity
+from gorio_tpu.io.synthetic import (
+    make_world,
+    render_radar_scan,
+    sample_imu,
+    simulate_trajectory,
+)
+from gorio_tpu.io.tum import ate_rmse, load_tum, rte, save_tum
+from gorio_tpu.pipeline.odometry import OdometryConfig, ScanMatchingOdometry
+from gorio_tpu.pipeline.slam import RadarGraphSLAM, SLAMConfig
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    duration = 8.0
+    traj = simulate_trajectory(seed=42, duration=duration, forward_speed=2.0, omega_amp=0.15)
+    imu = sample_imu(traj, gyr_rate=100.0, vel_rate=10.0, gyr_std=0.004, vel_std=0.02, seed=43)
+    world = make_world(seed=44, n_landmarks=9000, extent=50.0)
+    scan_rate = 5.0
+    stamps = np.arange(0.2, duration - 0.2, 1.0 / scan_rate)
+    scans = []
+    for i, t in enumerate(stamps):
+        R, p = traj.interp_pose(np.array([t]))
+        # body velocity at t for Doppler
+        vi = np.stack([np.interp(t, traj.t, traj.v_body[:, k]) for k in range(3)])
+        scans.append(
+            render_radar_scan(world, R[0], p[0], vi, capacity=1536, seed=100 + i, dropout=0.25)
+        )
+    return traj, imu, stamps, scans
+
+
+def test_full_slice(sequence, tmp_path):
+    traj, imu, stamps, scans = sequence
+
+    odo = ScanMatchingOdometry(OdometryConfig())
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, preint_mode="lpm"))
+    for t, g in zip(imu.gyr_t, imu.gyr):
+        slam.push_imu(t, g)
+    for t, v in zip(imu.vel_t, imu.vel):
+        slam.push_twist(t, v)
+
+    key = jax.random.PRNGKey(0)
+    odom_poses = []
+    for i, (t, cloud) in enumerate(zip(stamps, scans)):
+        key, sub = jax.random.split(key)
+        ego = estimate_ego_velocity(cloud, EgoVelConfig(), key=sub)
+        pose = odo.step(float(t), cloud, np.asarray(ego.v))
+        odom_poses.append(pose)
+        slam.add_frame(float(t), cloud, pose)
+
+    # raw odometry ATE
+    gt_stamps = traj.t
+    gt_poses = np.zeros((traj.t.shape[0], 4, 4))
+    gt_poses[:, :3, :3] = traj.R
+    gt_poses[:, :3, 3] = traj.p
+    gt_poses[:, 3, 3] = 1.0
+
+    ate_odo = ate_rmse(stamps, np.stack(odom_poses), gt_stamps, gt_poses)
+    assert ate_odo < 0.5, f"odometry ATE too high: {ate_odo}"
+
+    # backend optimization with preintegration factors
+    opt = slam.optimize()
+    assert opt is not None
+    kf_stamps, kf_poses = slam.trajectory()
+    ate_opt = ate_rmse(kf_stamps, kf_poses, gt_stamps, gt_poses)
+    assert ate_opt < 0.5, f"optimized ATE too high: {ate_opt}"
+    assert len(slam.keyframes) >= 10
+
+    rte_opt = rte(kf_stamps, kf_poses, gt_stamps, gt_poses, delta=5)
+    assert rte_opt < 0.5
+
+    # trajectory export round-trip
+    path = tmp_path / "traj.tum"
+    save_tum(path, kf_stamps, kf_poses)
+    s2, p2 = load_tum(path)
+    np.testing.assert_allclose(s2, kf_stamps, atol=1e-9)
+    np.testing.assert_allclose(p2, kf_poses, atol=1e-6)
+
+    # dump/save parity (graph + keyframes)
+    slam.save(str(tmp_path / "dump"))
+    assert (tmp_path / "dump" / "graph.g2o").exists()
+    assert (tmp_path / "dump" / "000000" / "cloud.npz").exists()
+
+    # map generation
+    cloud_map = slam.generate_map(resolution=0.5)
+    assert int(cloud_map.count()) > 1000
+
+
+def test_preintegration_factors_improve_consistency(sequence):
+    """With corrupted odometry, the GP-preint factors should pull the graph
+    back toward the true relative motion."""
+    traj, imu, stamps, scans = sequence
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, preint_mode="lpm"))
+    for t, g in zip(imu.gyr_t, imu.gyr):
+        slam.push_imu(t, g)
+    for t, v in zip(imu.vel_t, imu.vel):
+        slam.push_twist(t, v)
+    rng = np.random.default_rng(7)
+    # feed odometry = ground truth + noise (simulating a bad registration run)
+    for i, t in enumerate(stamps[::2]):
+        R, p = traj.interp_pose(np.array([t]))
+        T = np.eye(4)
+        T[:3, :3] = R[0]
+        T[:3, 3] = p[0] + rng.normal(scale=0.1, size=3)
+        slam.add_frame(float(t), scans[2 * i], T)
+    opt = slam.optimize()
+    assert opt is not None
+    gt_poses = np.zeros((traj.t.shape[0], 4, 4))
+    gt_poses[:, :3, :3] = traj.R
+    gt_poses[:, :3, 3] = traj.p
+    gt_poses[:, 3, 3] = 1.0
+    kf_stamps, kf_poses = slam.trajectory()
+    r = rte(kf_stamps, kf_poses, traj.t, gt_poses, delta=3)
+    assert r < 0.4

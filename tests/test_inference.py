@@ -1,0 +1,152 @@
+"""Inference layer tests: HMC/NUTS on Gaussian + graph posteriors, SMC
+(single-device and sharded over the fake 8-device CPU mesh), Laplace."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gorio_tpu.graph.graph import PoseGraph
+from gorio_tpu.graph.solver import optimize_graph
+from gorio_tpu.inference.hmc import (
+    hmc_init,
+    hmc_step,
+    nuts_step,
+    potential_scale_reduction,
+    run_hmc,
+)
+from gorio_tpu.inference.laplace import graph_logprob, laplace_sample
+from gorio_tpu.inference.smc import (
+    SMCState,
+    effective_sample_size,
+    sharded_smc_step,
+    smc_estimate,
+    smc_init,
+    smc_step,
+    systematic_resample,
+)
+from gorio_tpu.parallel.mesh import data_parallel_mesh, make_mesh, shard_batch
+
+
+def _gauss_logprob(mean, var):
+    def lp(x):
+        return -0.5 * jnp.sum((x - mean) ** 2 / var)
+
+    return lp
+
+
+def test_hmc_samples_gaussian():
+    mean = jnp.array([1.0, -2.0, 0.5])
+    var = jnp.array([0.5, 2.0, 1.0])
+    lp = _gauss_logprob(mean, var)
+    samples, accepts = run_hmc(
+        jax.random.PRNGKey(0), lp, jnp.zeros(3), n_samples=800, step_size=0.2, n_leapfrog=8
+    )
+    post = samples[200:]
+    assert float(jnp.mean(accepts)) > 0.5
+    np.testing.assert_allclose(np.asarray(jnp.mean(post, axis=0)), np.asarray(mean), atol=0.25)
+    np.testing.assert_allclose(np.asarray(jnp.var(post, axis=0)), np.asarray(var), rtol=0.5)
+
+
+def test_hmc_chains_vmap_rhat():
+    lp = _gauss_logprob(jnp.zeros(2), jnp.ones(2))
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    inits = jax.random.normal(jax.random.PRNGKey(2), (4, 2)) * 3.0
+    samples, _ = jax.vmap(
+        lambda k, x0: run_hmc(k, lp, x0, n_samples=500, step_size=0.3, n_leapfrog=8)
+    )(keys, inits)
+    rhat = potential_scale_reduction(samples[:, 100:])
+    assert np.all(np.asarray(rhat) < 1.2), rhat
+
+
+def test_nuts_step_moves_and_targets():
+    lp = _gauss_logprob(jnp.array([2.0, 0.0]), jnp.array([1.0, 1.0]))
+    state = hmc_init(lp, jnp.zeros(2))
+    keys = jax.random.split(jax.random.PRNGKey(3), 400)
+    xs = []
+    for k in keys:
+        state = nuts_step(k, state, lp, 0.25, max_depth=5)
+        xs.append(state.position)
+    xs = np.stack([np.asarray(x) for x in xs])[100:]
+    np.testing.assert_allclose(xs.mean(axis=0), [2.0, 0.0], atol=0.3)
+
+
+def test_graph_posterior_hmc_matches_laplace():
+    """HMC on a small pose-graph posterior should match the Laplace marginal
+    scale (BASELINE.json config 3)."""
+    rng = np.random.default_rng(0)
+    from tests.test_graph import _chain_truth, _rel
+
+    truth = _chain_truth(6, rng)
+    g = PoseGraph()
+    for T in truth:
+        g.add_pose(T)
+    for k in range(1, 6):
+        g.add_between(k - 1, k, _rel(truth[k - 1], truth[k]), info=np.eye(6) * 400.0)
+    g.add_prior(0, truth[0], info=np.eye(6) * 1e6)
+    poses0, graph = g.freeze()
+    res = optimize_graph(poses0, graph)
+    lp = graph_logprob(res.poses, graph)
+    n = 6 * 6
+    samples, accepts = run_hmc(
+        jax.random.PRNGKey(4), lp, jnp.zeros(n), n_samples=400, step_size=0.02, n_leapfrog=8
+    )
+    assert float(jnp.mean(accepts)) > 0.4
+    emp_std = np.asarray(jnp.std(samples[100:], axis=0))
+    lap = laplace_sample(jax.random.PRNGKey(5), res, 2000)
+    lap_std = np.asarray(jnp.std(lap, axis=0))
+    # compare total marginal scales for the last pose (dims free of gauge)
+    sl = slice(5 * 6, 6 * 6)
+    ratio = np.mean(emp_std[sl]) / np.mean(lap_std[sl])
+    assert 0.4 < ratio < 2.5, ratio
+
+
+def test_smc_gaussian():
+    mean = jnp.array([0.5, -1.0])
+    lp = _gauss_logprob(mean, jnp.array([0.3, 0.3]))
+    state = smc_init(jax.random.PRNGKey(6), 2048, jnp.zeros(2), jnp.ones(2) * 4.0)
+    key = jax.random.PRNGKey(7)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, ess = smc_step(k, state, lp, proposal_std=0.05)
+    est = np.asarray(smc_estimate(state))
+    np.testing.assert_allclose(est, np.asarray(mean), atol=0.2)
+
+
+def test_systematic_resample_unbiased():
+    lw = jnp.log(jnp.array([0.7, 0.1, 0.1, 0.1]))
+    counts = np.zeros(4)
+    for s in range(50):
+        idx = np.asarray(systematic_resample(jax.random.PRNGKey(s), lw, 1000))
+        counts += np.bincount(idx, minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.7, 0.1, 0.1, 0.1], atol=0.02)
+
+
+def test_sharded_smc_matches_semantics():
+    """Sharded SMC over the 8-device CPU mesh: global resampling keeps the
+    posterior estimate consistent with the single-device path."""
+    assert jax.device_count() >= 8
+    mesh = data_parallel_mesh(8)
+    mean = jnp.array([1.0, 2.0])
+    lp = _gauss_logprob(mean, jnp.array([0.25, 0.25]))
+    step = sharded_smc_step(mesh, lp)
+    n = 4096
+    particles = shard_batch(mesh, jax.random.normal(jax.random.PRNGKey(8), (n, 2)) * 3.0)
+    logw = shard_batch(mesh, jnp.zeros(n))
+    key = jax.random.PRNGKey(9)
+    for i in range(25):
+        key, k = jax.random.split(key)
+        particles, logw, ess = step(k, particles, logw, jnp.asarray(0.05))
+    assert float(ess) > 10.0
+    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+    est = np.asarray(jnp.sum(particles * w[:, None], axis=0))
+    np.testing.assert_allclose(est, np.asarray(mean), atol=0.25)
+
+
+def test_mesh_helpers():
+    mesh = make_mesh((4, 2), ("dp", "mp"))
+    assert mesh.shape == {"dp": 4, "mp": 2}
+    x = jnp.arange(16.0).reshape(8, 2)
+    xs = shard_batch(mesh, x, "dp")
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))

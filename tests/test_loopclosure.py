@@ -1,0 +1,100 @@
+"""Scan Context + loop detection tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gorio_tpu.core.pointcloud import make_cloud
+from gorio_tpu.io.synthetic import make_world, render_radar_scan
+from gorio_tpu.loopclosure.information import InformationConfig, calc_information_matrix
+from gorio_tpu.loopclosure.scancontext import (
+    ScanContextConfig,
+    ScanContextDB,
+    detect_loop,
+    make_scancontext,
+    ring_key,
+    sc_distance,
+)
+
+
+def _scan(seed, pos, yaw=0.0, capacity=1024):
+    from scipy.spatial.transform import Rotation
+
+    world = make_world(seed=40, n_landmarks=5000)
+    R = Rotation.from_euler("z", yaw).as_matrix()
+    return render_radar_scan(world, R, np.asarray(pos), np.zeros(3), capacity=capacity, seed=seed)
+
+
+def test_descriptor_shape_and_content():
+    cloud = _scan(0, [0.0, 0.0, 0.0])
+    cfg = ScanContextConfig()
+    desc = make_scancontext(cloud, cfg)
+    assert desc.shape == (cfg.num_ring, cfg.num_sector)
+    assert float(jnp.max(desc)) > 0
+    assert float(jnp.min(desc)) >= 0
+
+
+def test_same_place_low_distance_distinct_place_high():
+    d0 = make_scancontext(_scan(1, [0.0, 0.0, 0.0]))
+    d0b = make_scancontext(_scan(2, [0.3, 0.1, 0.0]))  # revisit, small offset
+    d_far = make_scancontext(_scan(3, [45.0, 30.0, 0.0]))
+    near, _ = sc_distance(d0, d0b)
+    far, _ = sc_distance(d0, d_far)
+    assert float(near) < 0.35
+    assert float(far) > float(near) + 0.1
+
+
+def test_yaw_shift_detected():
+    cfg = ScanContextConfig()
+    d0 = make_scancontext(_scan(4, [0.0, 0.0, 0.0], yaw=0.0), cfg)
+    d_rot = make_scancontext(_scan(5, [0.0, 0.0, 0.0], yaw=np.deg2rad(22.6)), cfg)
+    dist, shift = sc_distance(d0, d_rot)
+    # 22.6 deg = 4 sectors of 5.65 deg
+    sector_angle = 2 * cfg.azimuth_max_deg / cfg.num_sector
+    est = float(shift) if float(shift) <= cfg.num_sector // 2 else float(shift) - cfg.num_sector
+    assert abs(abs(est) * sector_angle - 22.6) < 2 * sector_angle
+
+
+def test_db_detects_revisit():
+    cfg = ScanContextConfig(num_exclude_recent=2, dist_threshold=0.5)
+    db = ScanContextDB.create(64, cfg, dtype=jnp.float64)
+    positions = [[2.0 * k, 0.0, 0.0] for k in range(12)]
+    for k, p in enumerate(positions):
+        db = db.add(make_scancontext(_scan(10 + k, p), cfg))
+    # revisit position of keyframe 1
+    q = make_scancontext(_scan(99, [2.0, 0.05, 0.0]), cfg)
+    match, yaw, dist = detect_loop(db, q, cfg)
+    assert int(match) in (0, 1, 2, 3), (int(match), float(dist))
+    assert float(dist) < 0.5
+
+
+def test_no_match_in_new_area():
+    cfg = ScanContextConfig(num_exclude_recent=2, dist_threshold=0.25)
+    db = ScanContextDB.create(64, cfg, dtype=jnp.float64)
+    for k in range(8):
+        db = db.add(make_scancontext(_scan(20 + k, [2.0 * k, 0.0, 0.0]), cfg))
+    q = make_scancontext(_scan(77, [10.0, 55.0, 0.0]), cfg)
+    match, _, dist = detect_loop(db, q, cfg)
+    assert int(match) == -1 or float(dist) >= 0.25
+
+
+def test_information_matrix_monotone_in_fitness():
+    cloud_a = _scan(30, [0.0, 0.0, 0.0])
+    cloud_b = _scan(31, [0.5, 0.0, 0.0])
+    T_good = np.eye(4)
+    T_good[:3, 3] = [0.5, 0.0, 0.0]
+    info_good, fit_good = calc_information_matrix(cloud_b, cloud_a, jnp.asarray(T_good))
+    T_bad = np.eye(4)
+    T_bad[:3, 3] = [3.0, 2.0, 0.0]
+    info_bad, fit_bad = calc_information_matrix(cloud_b, cloud_a, jnp.asarray(T_bad))
+    assert float(fit_good) < float(fit_bad)
+    assert float(info_good[3, 3]) > float(info_bad[3, 3])
+    assert float(info_good[0, 0]) > float(info_bad[0, 0])
+
+
+def test_constant_information():
+    cloud = _scan(32, [0.0, 0.0, 0.0])
+    cfg = InformationConfig(use_const_inf_matrix=True, const_stddev_x=0.5, const_stddev_q=0.1)
+    info, _ = calc_information_matrix(cloud, cloud, jnp.eye(4), cfg)
+    np.testing.assert_allclose(np.asarray(info[3:, 3:]), np.eye(3) / 0.25, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(info[:3, :3]), np.eye(3) / 0.01, rtol=1e-9)
