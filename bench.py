@@ -1,0 +1,219 @@
+"""Benchmark: NDT pair alignment vs the reference's published numbers.
+
+Headline metric: single NDT (DIRECT7) alignment of the ndt_omp benchmark scan
+pair — the only hard performance number the reference repo publishes
+(`ndt_omp/README.md:24-27`: 139.433 ms on a Core i7-6700K, 1 thread; the
+8-thread best is 17.2 ms). We load the same bundled PCDs when the reference
+tree is mounted, else synthesize clouds of the same scale, apply the same
+0.1 m voxel downsampling as `ndt_omp/apps/align.cpp:58-70`, and time
+`align()` with a prebuilt target voxel map (the reference also builds the
+voxel grid in `setInputTarget`, outside its timed region).
+
+Prints ONE JSON line:
+  {"metric": "ndt_direct7_align_ms", "value": ..., "unit": "ms",
+   "vs_baseline": <reference_ms / ours_ms>}
+Secondary throughput numbers (APDGICP, UGPM, ego-velocity, GP-interp, SMC)
+go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_MS_DIRECT7_1T = 139.433  # `ndt_omp/README.md:24-27`
+REF_PCDS = (
+    "/root/reference/ndt_omp/data/251370668.pcd",
+    "/root/reference/ndt_omp/data/251371071.pcd",
+)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def load_pcd(path):
+    """Minimal binary/ascii PCD reader (x y z intensity, float32)."""
+    with open(path, "rb") as fh:
+        header = {}
+        while True:
+            line = fh.readline().decode("ascii", "ignore").strip()
+            key = line.split(" ", 1)[0].upper()
+            header[key] = line.split(" ", 1)[1] if " " in line else ""
+            if key == "DATA":
+                break
+        n = int(header["POINTS"])
+        fields = header["FIELDS"].split()
+        if header["DATA"].startswith("binary"):
+            data = np.frombuffer(fh.read(n * 4 * len(fields)), dtype=np.float32)
+            data = data.reshape(n, len(fields))
+        else:
+            data = np.loadtxt(fh, dtype=np.float32, max_rows=n)
+    xyz = data[:, :3]
+    inten = data[:, 3] if data.shape[1] > 3 else np.zeros(n, np.float32)
+    good = np.all(np.isfinite(xyz), axis=1)
+    return xyz[good], inten[good]
+
+
+def synth_pair(n=69000, seed=0):
+    """Fallback clouds at the bundled scans' scale (~70k pts, ~100 m scene)."""
+    rng = np.random.default_rng(seed)
+    n_ground = n // 2
+    gx = rng.uniform(-50, 50, size=(n_ground, 2))
+    ground = np.concatenate([gx, -1.8 + 0.05 * rng.normal(size=(n_ground, 1))], axis=1)
+    n_rest = n - n_ground
+    centers = rng.uniform(-50, 50, size=(60, 3))
+    centers[:, 2] = np.abs(centers[:, 2]) * 0.2
+    assign = rng.integers(0, 60, size=n_rest)
+    local = rng.normal(size=(n_rest, 3)) * np.array([4.0, 0.2, 2.0])
+    a = np.concatenate([ground, centers[assign] + local]).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_euler("z", 0.02).as_matrix()
+    T[:3, 3] = [0.3, 0.1, 0.0]
+    b = (a @ T[:3, :3].T + T[:3, 3]) + rng.normal(scale=0.02, size=a.shape).astype(np.float32)
+    inten = (10 + 20 * rng.random(n)).astype(np.float32)
+    return (a, inten), (b, inten)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gorio_tpu.core.pointcloud import make_cloud, voxel_downsample
+    from gorio_tpu.registration.ndt import NDTConfig, build_voxel_map, ndt_align_with_map
+
+    log(f"devices: {jax.devices()}")
+    dtype = jnp.float32
+
+    if all(os.path.exists(p) for p in REF_PCDS):
+        log("using reference benchmark PCDs")
+        tgt_xyz, tgt_i = load_pcd(REF_PCDS[0])
+        src_xyz, src_i = load_pcd(REF_PCDS[1])
+    else:
+        log("reference PCDs not found; synthesizing same-scale pair")
+        (tgt_xyz, tgt_i), (src_xyz, src_i) = synth_pair()
+
+    cap = 1 << int(np.ceil(np.log2(max(len(tgt_xyz), len(src_xyz)))))
+    target = make_cloud(jnp.asarray(tgt_xyz, dtype), intensity=jnp.asarray(tgt_i, dtype), capacity=cap)
+    source = make_cloud(jnp.asarray(src_xyz, dtype), intensity=jnp.asarray(src_i, dtype), capacity=cap)
+    # 0.1 m voxel downsampling, parity with `align.cpp:58-70`
+    target = voxel_downsample(target, 0.1)
+    source = voxel_downsample(source, 0.1)
+    n_t = int(target.count())
+    n_s = int(source.count())
+    log(f"downsampled sizes: target={n_t} source={n_s} (capacity {cap})")
+
+    cfg = NDTConfig(resolution=1.0, neighborhood="direct7", voxel_capacity=32768)
+    vmap_t = build_voxel_map(target, cfg)
+    vmap_t.keys.block_until_ready()
+    init_T = jnp.eye(4, dtype=dtype)
+
+    # warmup/compile
+    res = ndt_align_with_map(source, vmap_t, init_T, cfg)
+    res.T.block_until_ready()
+    log(f"ndt converged in {int(res.iterations)} iters, score {float(res.error):.1f}")
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = ndt_align_with_map(source, vmap_t, init_T, cfg)
+    res.T.block_until_ready()
+    ndt_ms = (time.perf_counter() - t0) / iters * 1000.0
+    log(f"ndt direct7 align: {ndt_ms:.2f} ms (ref 1-thread {REF_MS_DIRECT7_1T} ms)")
+
+    # ---- secondary metrics (stderr only) ---------------------------------
+    try:
+        secondary(log)
+    except Exception as e:  # secondary failures must not kill the benchmark
+        log(f"secondary benches failed: {e!r}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "ndt_direct7_align_ms",
+                "value": round(ndt_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(REF_MS_DIRECT7_1T / ndt_ms, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def secondary(log):
+    import jax
+    import jax.numpy as jnp
+
+    from gorio_tpu.core.pointcloud import random_cloud
+    from gorio_tpu.estimators.egovel import estimate_ego_velocity
+    from gorio_tpu.preintegration.ugpm import UGPMConfig, ugpm_fit, ugpm_query
+    from gorio_tpu.registration.gicp import GICPConfig, gicp_align
+
+    dtype = jnp.float32
+    # APDGICP pair align (radar-scale 4096-pt clouds)
+    src = random_cloud(jax.random.PRNGKey(0), 4096, capacity=4096, dtype=dtype)
+    tgt = random_cloud(jax.random.PRNGKey(1), 4096, capacity=4096, dtype=dtype)
+    cfg = GICPConfig()
+    r = gicp_align(src, tgt, cfg=cfg)
+    r.T.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = gicp_align(src, tgt, cfg=cfg)
+    r.T.block_until_ready()
+    log(f"apdgicp 4096-pt align: {(time.perf_counter()-t0)/5*1000:.2f} ms")
+
+    # ego-velocity throughput (batched scans)
+    B = 64
+    clouds = jax.vmap(lambda k: random_cloud(k, 1024, capacity=1024, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(2), B)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    f = jax.jit(jax.vmap(lambda c, k: estimate_ego_velocity(c, key=k).v))
+    v = f(clouds, keys)
+    v.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        v = f(clouds, keys)
+    v.block_until_ready()
+    per_s = B * 10 / (time.perf_counter() - t0)
+    log(f"ego-velocity: {per_s:.0f} scans/s (batch {B})")
+
+    # UGPM batched windows + GP-interp throughput
+    W = 32
+    G, V = 128, 32
+    rng = np.random.default_rng(0)
+    gyr_t = jnp.asarray(np.linspace(0, 1.0, G)[None].repeat(W, 0), dtype)
+    vel_t = jnp.asarray(np.linspace(0, 1.0, V)[None].repeat(W, 0), dtype)
+    gyr = jnp.asarray(rng.normal(scale=0.2, size=(W, G, 3)), dtype)
+    vel = jnp.asarray(rng.normal(scale=1.0, size=(W, V, 3)), dtype)
+    starts = jnp.full((W,), 0.2, dtype)
+    ucfg = UGPMConfig(window_duration=0.6, lm_iters=10)
+    fit = jax.jit(
+        jax.vmap(lambda a, b, c, d, s: ugpm_fit(a, b, c, d, s, 1e-4, 1e-3, ucfg))
+    )
+    st = fit(gyr_t, gyr, vel_t, vel, starts)
+    st.alpha.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        st = fit(gyr_t, gyr, vel_t, vel, starts)
+    st.alpha.block_until_ready()
+    log(f"ugpm fit: {W*3/(time.perf_counter()-t0):.1f} windows/s (batch {W})")
+
+    Q = 256
+    queries = jnp.asarray(np.linspace(0.25, 0.75, Q)[None].repeat(W, 0), dtype)
+    qf = jax.jit(jax.vmap(lambda s, t0_, q: ugpm_query(s, t0_, q).delta_p))
+    out = qf(st, starts, queries)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = qf(st, starts, queries)
+    out.block_until_ready()
+    log(f"gp-interp: {W*Q*10/(time.perf_counter()-t0):.0f} points/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,11 +105,26 @@ def distance_filter(cloud: PointCloud, min_dist, max_dist, min_z=-1e30, max_z=1e
     return filter_cloud(cloud, keep)
 
 
-def voxel_key(xyz, resolution, origin=-2048.0):
-    """Integer voxel key per point (Morton-free linear hash on a 2^20 grid)."""
-    ijk = jnp.floor((xyz - origin) / resolution).astype(jnp.int64)
-    ijk = jnp.clip(ijk, 0, (1 << 20) - 1)
-    return (ijk[..., 0] << 42) | (ijk[..., 1] << 21) | ijk[..., 2]
+VOXEL_BITS = 10  # 1024 cells per axis; int32-safe with or without jax x64
+VOXEL_SENTINEL = jnp.int32(2**30)
+
+
+def voxel_key(xyz, resolution, origin):
+    """int32 voxel key per point: 10 bits per axis relative to `origin`
+    ((3,) array, usually the masked min corner). Out-of-range cells clamp to
+    the boundary voxel. int32 keeps the op correct on TPU without x64."""
+    ijk = jnp.floor((xyz - origin) / resolution).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, (1 << VOXEL_BITS) - 1)
+    return (
+        (ijk[..., 0] << (2 * VOXEL_BITS)) | (ijk[..., 1] << VOXEL_BITS) | ijk[..., 2]
+    )
+
+
+def masked_min_corner(xyz, mask, pad=1.0):
+    """Min corner of the valid points (static-shape reduction)."""
+    big = jnp.full((3,), 1e9, xyz.dtype)
+    mn = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    return mn - pad
 
 
 def voxel_downsample(cloud: PointCloud, resolution, capacity=None):
@@ -121,7 +136,8 @@ def voxel_downsample(cloud: PointCloud, resolution, capacity=None):
     """
     if capacity is None:
         capacity = cloud.capacity
-    key = jnp.where(cloud.mask, voxel_key(cloud.xyz, resolution), jnp.int64(2**62))
+    origin = masked_min_corner(cloud.xyz, cloud.mask)
+    key = jnp.where(cloud.mask, voxel_key(cloud.xyz, resolution, origin), VOXEL_SENTINEL)
     order = jnp.argsort(key)
     key_s = key[order]
     xyz_s = cloud.xyz[order]

@@ -111,7 +111,10 @@ def huber_weight(chi2, delta):
     (rho'(e) = 1 for e <= delta, delta/e beyond); factors with delta = inf are
     unweighted. Parity: `GraphSLAM::add_robust_kernel` + g2o robustification."""
     e = jnp.sqrt(jnp.maximum(chi2, 1e-30))
-    w = jnp.where(e <= delta, 1.0, delta / e)
+    # keep delta finite inside the division: inf/e in the non-selected branch
+    # leaks NaN through `where` in reverse-mode autodiff
+    delta_safe = jnp.where(jnp.isinf(delta), 1.0, delta)
+    w = jnp.where(e <= delta, 1.0, delta_safe / e)
     return jnp.where(jnp.isinf(delta), 1.0, w)
 
 

@@ -113,15 +113,20 @@ def run_hmc(
     step_size: float = 0.05,
     n_leapfrog: int = 16,
     adapt: bool = True,
+    inv_mass=None,
 ):
-    """Single chain; `vmap` over (key, position0) for many chains."""
+    """Single chain; `vmap` over (key, position0) for many chains.
+
+    `inv_mass` (diagonal) preconditions the kinetic energy — pass the inverse
+    Hessian diagonal of the GN solution for pose-graph posteriors, whose
+    scales span orders of magnitude (anchor prior vs free poses)."""
     state0 = hmc_init(logprob_fn, position0)
     da0 = dual_averaging_init(step_size)
 
     def body(carry, k):
         state, da = carry
         eps = jnp.exp(da.log_step)
-        new_state, info = hmc_step(k, state, logprob_fn, eps, n_leapfrog)
+        new_state, info = hmc_step(k, state, logprob_fn, eps, n_leapfrog, inv_mass)
         da_new = dual_averaging_update(da, info.accept_prob) if adapt else da
         return (new_state, da_new), (new_state.position, info.accept_prob)
 

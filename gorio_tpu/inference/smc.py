@@ -87,7 +87,7 @@ def sharded_smc_step(mesh: Mesh, log_target: Callable, ess_threshold: float = 0.
     particles. For huge D, swap the all_gather for a ppermute ring exchange.
     """
 
-    from jax.shard_map import shard_map
+    from jax import shard_map
 
     def step(key, particles, log_weights, proposal_std):
         n_local = particles.shape[0]

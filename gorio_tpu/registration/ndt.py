@@ -39,19 +39,24 @@ class NDTConfig(NamedTuple):
 
 
 class VoxelGaussianMap(NamedTuple):
-    keys: jax.Array  # (V,) sorted int64 voxel keys (padding = huge)
+    keys: jax.Array  # (V,) sorted int32 voxel keys (padding = sentinel)
     means: jax.Array  # (V, 3)
     inv_covs: jax.Array  # (V, 3, 3)
     valid: jax.Array  # (V,)
+    origin: jax.Array  # (3,) shared grid origin for queries
+
+
+_BITS = 10  # int32-safe (TPU without x64); 1024 cells/axis
+_SENTINEL = jnp.int32(2**30)
 
 
 def _voxel_key_3d(ijk):
-    return (ijk[..., 0] << 42) | (ijk[..., 1] << 21) | ijk[..., 2]
+    return (ijk[..., 0] << (2 * _BITS)) | (ijk[..., 1] << _BITS) | ijk[..., 2]
 
 
-def _point_ijk(xyz, resolution, origin=-2048.0):
-    ijk = jnp.floor((xyz - origin) / resolution).astype(jnp.int64)
-    return jnp.clip(ijk, 1, (1 << 21) - 2)  # keep a 1-voxel margin for neighbors
+def _point_ijk(xyz, resolution, origin):
+    ijk = jnp.floor((xyz - origin) / resolution).astype(jnp.int32)
+    return jnp.clip(ijk, 1, (1 << _BITS) - 2)  # 1-voxel margin for neighbors
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -61,8 +66,11 @@ def build_voxel_map(cloud: PointCloud, cfg: NDTConfig = NDTConfig()) -> VoxelGau
     n = cloud.capacity
     dtype = cloud.xyz.dtype
     V = cfg.voxel_capacity
-    ijk = _point_ijk(cloud.xyz, cfg.resolution)
-    key = jnp.where(cloud.mask, _voxel_key_3d(ijk), jnp.int64(2**62))
+    from ..core.pointcloud import masked_min_corner
+
+    origin = masked_min_corner(cloud.xyz, cloud.mask, pad=2.0 * cfg.resolution)
+    ijk = _point_ijk(cloud.xyz, cfg.resolution, origin)
+    key = jnp.where(cloud.mask, _voxel_key_3d(ijk), _SENTINEL)
     order = jnp.argsort(key)
     key_s = key[order]
     xyz_s = cloud.xyz[order]
@@ -78,7 +86,7 @@ def build_voxel_map(cloud: PointCloud, cfg: NDTConfig = NDTConfig()) -> VoxelGau
         centered[:, :, None] * centered[:, None, :], seg, num_segments=n
     )
     cov = cov / jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
-    head_key = jax.ops.segment_min(jnp.where(mask_s, key_s, jnp.int64(2**62)), seg, num_segments=n)
+    head_key = jax.ops.segment_min(jnp.where(mask_s, key_s, _SENTINEL), seg, num_segments=n)
     valid = cnt >= cfg.min_points_per_voxel
 
     # eigenvalue inflation (`voxel_grid_covariance_omp_impl.hpp`)
@@ -90,13 +98,14 @@ def build_voxel_map(cloud: PointCloud, cfg: NDTConfig = NDTConfig()) -> VoxelGau
 
     # keep first V voxels (sorted by key; padding key huge)
     take = min(V, n)
-    keys_out = jnp.where(valid, head_key, jnp.int64(2**62))[:take]
+    keys_out = jnp.where(valid, head_key, _SENTINEL)[:take]
     order2 = jnp.argsort(keys_out)
     return VoxelGaussianMap(
         keys=keys_out[order2],
         means=mean[:take][order2],
         inv_covs=inv_cov[:take][order2],
         valid=valid[:take][order2],
+        origin=origin,
     )
 
 
@@ -133,8 +142,8 @@ def ndt_score(source: PointCloud, vmap: VoxelGaussianMap, T, cfg: NDTConfig = ND
     the target voxel map at pose T."""
     d1, d2 = _gauss_coeffs(cfg, source.xyz.dtype)
     moved = source.xyz @ T[:3, :3].T + T[:3, 3]
-    ijk = _point_ijk(moved, cfg.resolution)
-    offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int64)  # (O, 3)
+    ijk = _point_ijk(moved, cfg.resolution, vmap.origin)
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)  # (O, 3)
     keys = _voxel_key_3d(ijk[:, None, :] + offsets[None, :, :])  # (N, O)
     idx, found = _lookup(vmap.keys, keys.reshape(-1))
     idx = idx.reshape(keys.shape)
@@ -149,21 +158,20 @@ def ndt_score(source: PointCloud, vmap: VoxelGaussianMap, T, cfg: NDTConfig = ND
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def ndt_align(
+def ndt_align_with_map(
     source: PointCloud,
-    target: PointCloud,
-    init_T=None,
+    vmap_t: VoxelGaussianMap,
+    init_T,
     cfg: NDTConfig = NDTConfig(),
 ) -> LMResult:
-    """Newton iterations on the NDT score with parallel step-length search.
+    """Newton iterations on the NDT score with parallel step-length search,
+    against a prebuilt voxel map (the reference builds the map in
+    `setInputTarget`, outside the timed `align()`).
 
     Parity: `computeTransformation`/`computeDerivatives` + `computeStepLengthMT`
     (`ndt_omp_impl.hpp:130-320,773-860`) — derivatives via autodiff instead of
     the hand-derived angle-derivative tables."""
     dtype = source.xyz.dtype
-    if init_T is None:
-        init_T = jnp.eye(4, dtype=dtype)
-    vmap_t = build_voxel_map(target, cfg)
 
     def score_at(T):
         return ndt_score(source, vmap_t, T, cfg)
@@ -209,3 +217,16 @@ def ndt_align(
     return LMResult(
         T=T, H=H, error=final_score, converged=jnp.array(True), iterations=iters
     )
+
+
+def ndt_align(
+    source: PointCloud,
+    target: PointCloud,
+    init_T=None,
+    cfg: NDTConfig = NDTConfig(),
+) -> LMResult:
+    """Build the target voxel map + align (the one-shot convenience API)."""
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=source.xyz.dtype)
+    vmap_t = build_voxel_map(target, cfg)
+    return ndt_align_with_map(source, vmap_t, init_T, cfg)

@@ -88,8 +88,16 @@ def test_graph_posterior_hmc_matches_laplace():
     res = optimize_graph(poses0, graph)
     lp = graph_logprob(res.poses, graph)
     n = 6 * 6
+    # precondition with the GN Hessian diagonal (scales span 1e-3..0.1)
+    inv_mass = 1.0 / jnp.maximum(jnp.diag(res.H), 1.0)
     samples, accepts = run_hmc(
-        jax.random.PRNGKey(4), lp, jnp.zeros(n), n_samples=400, step_size=0.02, n_leapfrog=8
+        jax.random.PRNGKey(4),
+        lp,
+        jnp.zeros(n),
+        n_samples=600,
+        step_size=0.5,
+        n_leapfrog=12,
+        inv_mass=inv_mass,
     )
     assert float(jnp.mean(accepts)) > 0.4
     emp_std = np.asarray(jnp.std(samples[100:], axis=0))

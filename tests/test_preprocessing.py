@@ -109,7 +109,8 @@ def test_voxel_and_distance_filters():
     assert 0 < n_down < 1000
     # all voxel centroids at least 0.5 voxel apart is not guaranteed, but
     # count should approximate the number of occupied voxels
-    keys = set(map(tuple, np.floor((pts + 2048) / 2.0).astype(int).tolist()))
+    origin = pts.min(axis=0) - 1.0
+    keys = set(map(tuple, np.floor((pts - origin) / 2.0).astype(int).tolist()))
     assert abs(n_down - len(keys)) <= len(keys) * 0.05
 
     filt = distance_filter(cloud, 2.0, 8.0)
