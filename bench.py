@@ -97,15 +97,29 @@ def main():
         log("reference PCDs not found; synthesizing same-scale pair")
         (tgt_xyz, tgt_i), (src_xyz, src_i) = synth_pair()
 
-    cap = 1 << int(np.ceil(np.log2(max(len(tgt_xyz), len(src_xyz)))))
-    target = make_cloud(jnp.asarray(tgt_xyz, dtype), intensity=jnp.asarray(tgt_i, dtype), capacity=cap)
-    source = make_cloud(jnp.asarray(src_xyz, dtype), intensity=jnp.asarray(src_i, dtype), capacity=cap)
-    # 0.1 m voxel downsampling, parity with `align.cpp:58-70`
-    target = voxel_downsample(target, 0.1)
-    source = voxel_downsample(source, 0.1)
-    n_t = int(target.count())
-    n_s = int(source.count())
-    log(f"downsampled sizes: target={n_t} source={n_s} (capacity {cap})")
+    # 0.1 m voxel downsampling, parity with `align.cpp:58-70` (host-side
+    # numpy; the timed region is the alignment, matching the reference)
+    def downsample_np(xyz):
+        origin = xyz.min(axis=0) - 1.0
+        key = np.floor((xyz - origin) / 0.1).astype(np.int64)
+        key = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        xyz_s = xyz[order]
+        head = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        seg = np.cumsum(head) - 1
+        n_seg = seg[-1] + 1
+        sums = np.zeros((n_seg, 3))
+        np.add.at(sums, seg, xyz_s)
+        cnt = np.bincount(seg)
+        return (sums / cnt[:, None]).astype(np.float32)
+
+    tgt_d = downsample_np(tgt_xyz)
+    src_d = downsample_np(src_xyz)
+    cap = 1 << int(np.ceil(np.log2(max(len(tgt_d), len(src_d)))))
+    log(f"downsampled sizes: target={len(tgt_d)} source={len(src_d)} (capacity {cap})")
+    target = make_cloud(jnp.asarray(tgt_d, dtype), capacity=cap)
+    source = make_cloud(jnp.asarray(src_d, dtype), capacity=cap)
 
     cfg = NDTConfig(resolution=1.0, neighborhood="direct7", voxel_capacity=32768)
     vmap_t = build_voxel_map(target, cfg)

@@ -1,0 +1,223 @@
+"""Command-line tools.
+
+Counterparts of the reference's CLI layer (SURVEY.md §2 Utility/CLI):
+  slam        — run the full pipeline over a .grf/.npz sequence (replaces the
+                launch-file + bag replay flow)
+  simulate    — generate a synthetic sequence to .grf files
+  evaluate    — ATE/RTE of a TUM trajectory vs ground truth
+  align-traj  — estimate the rigid transform between two trajectories by
+                timestamp association (parity: `src/gps_traj_align.cpp`)
+  dump-config — write the default typed config tree
+  bench       — run the benchmark
+
+Usage: python -m gorio_tpu.cli <command> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_simulate(args):
+    import jax.numpy as jnp
+
+    from .io import native as gn
+    from .io.synthetic import make_world, render_radar_scan, sample_imu, simulate_trajectory
+    from .io.tum import save_tum
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    traj = simulate_trajectory(seed=args.seed, duration=args.duration)
+    imu = sample_imu(traj, seed=args.seed + 1)
+    world = make_world(seed=args.seed + 2, n_landmarks=args.landmarks)
+    stamps = np.arange(0.2, args.duration - 0.2, 1.0 / args.rate)
+    for i, t in enumerate(stamps):
+        R, p = traj.interp_pose(np.array([t]))
+        v = np.stack([np.interp(t, traj.t, traj.v_body[:, k]) for k in range(3)])
+        cloud = render_radar_scan(world, R[0], p[0], v, capacity=args.capacity, seed=1000 + i)
+        m = np.asarray(cloud.mask)
+        gn.write_frame(
+            out / f"{i:06d}.grf",
+            float(t),
+            np.asarray(cloud.xyz)[m],
+            np.asarray(cloud.intensity)[m],
+            np.asarray(cloud.doppler)[m],
+        )
+    np.savez(
+        out / "imu.npz", gyr_t=imu.gyr_t, gyr=imu.gyr, vel_t=imu.vel_t, vel=imu.vel,
+        gyr_var=imu.gyr_var, vel_var=imu.vel_var,
+    )
+    gt = np.zeros((traj.t.shape[0], 4, 4))
+    gt[:, :3, :3] = traj.R
+    gt[:, :3, 3] = traj.p
+    gt[:, 3, 3] = 1.0
+    save_tum(out / "groundtruth.tum", traj.t, gt)
+    print(f"wrote {len(stamps)} frames to {out}")
+
+
+def cmd_slam(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .core.pointcloud import make_cloud
+    from .estimators.egovel import EgoVelConfig, estimate_ego_velocity
+    from .io import native as gn
+    from .io.tum import save_tum
+    from .pipeline.odometry import OdometryConfig, ScanMatchingOdometry
+    from .pipeline.slam import RadarGraphSLAM, SLAMConfig
+    from .utils.profiling import StageTimer
+
+    src = Path(args.dataset)
+    frames = sorted(src.glob("*.grf"))
+    if not frames:
+        sys.exit(f"no .grf frames in {src}")
+    imu = np.load(src / "imu.npz")
+
+    slam = RadarGraphSLAM(
+        SLAMConfig(
+            enable_loop_closure=not args.no_loops,
+            preint_mode=args.preint,
+            gyr_var=float(imu["gyr_var"]),
+            vel_var=float(imu["vel_var"]),
+        )
+    )
+    for t, g in zip(imu["gyr_t"], imu["gyr"]):
+        slam.push_imu(t, g)
+    for t, v in zip(imu["vel_t"], imu["vel"]):
+        slam.push_twist(t, v)
+
+    odo = ScanMatchingOdometry(OdometryConfig(registration=args.registration))
+    timer = StageTimer()
+    key = jax.random.PRNGKey(0)
+    ds = gn.NativeDataset(frames, capacity=args.capacity)
+    n = 0
+    for stamp, xyz, inten, dop in ds:
+        cloud = make_cloud(
+            jnp.asarray(xyz), intensity=jnp.asarray(inten), doppler=jnp.asarray(dop),
+            capacity=args.capacity,
+        )
+        key, sub = jax.random.split(key)
+        with timer.stage("ego_velocity"):
+            ego = estimate_ego_velocity(cloud, EgoVelConfig(), key=sub)
+            v = np.asarray(ego.v)
+        with timer.stage("scan_matching"):
+            pose = odo.step(float(stamp), cloud, v)
+        with timer.stage("backend"):
+            slam.add_frame(float(stamp), cloud, pose)
+            if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
+                slam.optimize()
+        n += 1
+    with timer.stage("final_optimize"):
+        slam.optimize()
+    stamps, poses = slam.trajectory()
+    save_tum(args.output, stamps, poses)
+    print(f"processed {n} frames -> {len(slam.keyframes)} keyframes, "
+          f"{len(slam.loops)} loops; trajectory: {args.output}")
+    print(timer.report())
+    if args.dump:
+        slam.save(args.dump)
+    if args.map:
+        m = slam.generate_map(resolution=args.map_resolution)
+        mm = np.asarray(m.mask)
+        np.savez(args.map, xyz=np.asarray(m.xyz)[mm])
+        print(f"map: {args.map} ({int(mm.sum())} points)")
+
+
+def cmd_evaluate(args):
+    from .io.tum import ate_rmse, load_tum, rte
+
+    es, ep = load_tum(args.estimate)
+    gs, gp = load_tum(args.groundtruth)
+    ate = ate_rmse(es, ep, gs, gp)
+    r = rte(es, ep, gs, gp)
+    print(json.dumps({"ate_rmse_m": ate, "rte_m": r, "n_poses": len(es)}))
+
+
+def cmd_align_traj(args):
+    from .io.tum import load_tum, save_tum, umeyama_alignment
+
+    es, ep = load_tum(args.source)
+    gs, gp = load_tum(args.target)
+    idx = np.clip(np.searchsorted(gs, es), 0, len(gs) - 1)
+    c, R, t = umeyama_alignment(ep[:, :3, 3], gp[idx][:, :3, 3], with_scale=args.scale)
+    T = np.eye(4)
+    T[:3, :3] = c * R
+    T[:3, 3] = t
+    print(json.dumps({"scale": c, "T": T.tolist()}))
+    if args.output:
+        out = ep.copy()
+        out[:, :3, 3] = (c * (R @ ep[:, :3, 3].T)).T + t
+        out[:, :3, :3] = np.einsum("ij,njk->nik", R, ep[:, :3, :3])
+        save_tum(args.output, es, out)
+
+
+def cmd_dump_config(args):
+    from .config import GorioConfig, save_config
+
+    save_config(GorioConfig(), args.output)
+    print(f"wrote {args.output}")
+
+
+def cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"), run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gorio_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate")
+    s.add_argument("--output", required=True)
+    s.add_argument("--duration", type=float, default=20.0)
+    s.add_argument("--rate", type=float, default=5.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--landmarks", type=int, default=9000)
+    s.add_argument("--capacity", type=int, default=2048)
+    s.set_defaults(fn=cmd_simulate)
+
+    s = sub.add_parser("slam")
+    s.add_argument("--dataset", required=True)
+    s.add_argument("--output", default="trajectory.tum")
+    s.add_argument("--registration", default="apdgicp", choices=["apdgicp", "gicp", "ndt"])
+    s.add_argument("--preint", default="lpm", choices=["lpm", "ugpm"])
+    s.add_argument("--capacity", type=int, default=2048)
+    s.add_argument("--optimize-every", type=int, default=0)
+    s.add_argument("--no-loops", action="store_true")
+    s.add_argument("--dump", default=None)
+    s.add_argument("--map", default=None)
+    s.add_argument("--map-resolution", type=float, default=0.2)
+    s.set_defaults(fn=cmd_slam)
+
+    s = sub.add_parser("evaluate")
+    s.add_argument("estimate")
+    s.add_argument("groundtruth")
+    s.set_defaults(fn=cmd_evaluate)
+
+    s = sub.add_parser("align-traj")
+    s.add_argument("source")
+    s.add_argument("target")
+    s.add_argument("--scale", action="store_true")
+    s.add_argument("--output", default=None)
+    s.set_defaults(fn=cmd_align_traj)
+
+    s = sub.add_parser("dump-config")
+    s.add_argument("--output", default="gorio_config.json")
+    s.set_defaults(fn=cmd_dump_config)
+
+    s = sub.add_parser("bench")
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
