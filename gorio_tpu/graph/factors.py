@@ -97,6 +97,44 @@ class QuatPriorFactors(NamedTuple):
         return lie.so3_log(jnp.swapaxes(R_meas, -1, -2) @ T_i[:3, :3])
 
 
+class VecPriorFactors(NamedTuple):
+    """Unary direction priors; parity with EdgeSE3PriorVec (a known world
+    direction observed in the body frame, e.g. gravity from the IMU):
+    residual = R_i^T dir_world - dir_meas (3,)."""
+
+    i: jax.Array
+    dir_world: jax.Array  # (F, 3)
+    dir_meas: jax.Array  # (F, 3)
+    sqrt_info: jax.Array  # (F, 3, 3)
+    mask: jax.Array
+    robust_delta: jax.Array
+
+    @staticmethod
+    def residual(T_i, dir_world, dir_meas):
+        return jnp.einsum("ji,j->i", T_i[:3, :3], dir_world) - dir_meas
+
+
+class GroundPlaneFactors(NamedTuple):
+    """Unary ground-plane factors; parity with EdgeSE3Plane semantics with the
+    global plane held fixed: the world plane (n_w, d_w) observed in the body
+    frame (from `estimators.groundseg`) gives
+    residual = [R_i^T n_w - n_meas ; (n_w . t_i + d_w) - d_meas] (4,)."""
+
+    i: jax.Array
+    plane_world: jax.Array  # (F, 4) [n_w, d_w]
+    plane_meas: jax.Array  # (F, 4) measured in body frame
+    sqrt_info: jax.Array  # (F, 4, 4)
+    mask: jax.Array
+    robust_delta: jax.Array
+
+    @staticmethod
+    def residual(T_i, plane_world, plane_meas):
+        n_w, d_w = plane_world[:3], plane_world[3]
+        r_n = jnp.einsum("ji,j->i", T_i[:3, :3], n_w) - plane_meas[:3]
+        r_d = (n_w @ T_i[:3, 3] + d_w) - plane_meas[3]
+        return jnp.concatenate([r_n, r_d[None]])
+
+
 class GraphData(NamedTuple):
     """All factors of a pose graph (fixed shapes; masks mark live entries)."""
 
@@ -104,6 +142,8 @@ class GraphData(NamedTuple):
     priors: PriorFactors
     point_priors: PointPriorFactors
     quat_priors: QuatPriorFactors
+    vec_priors: "VecPriorFactors"
+    plane_factors: "GroundPlaneFactors"
 
 
 def huber_weight(chi2, delta):
@@ -160,12 +200,43 @@ def _empty_quat_priors(capacity, dtype):
     )
 
 
+def _empty_vec_priors(capacity, dtype):
+    return VecPriorFactors(
+        i=jnp.zeros((capacity,), jnp.int32),
+        dir_world=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], dtype), (capacity, 1)),
+        dir_meas=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], dtype), (capacity, 1)),
+        sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (capacity, 1, 1)),
+        mask=jnp.zeros((capacity,), bool),
+        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+    )
+
+
+def _empty_plane_factors(capacity, dtype):
+    plane = jnp.tile(jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype), (capacity, 1))
+    return GroundPlaneFactors(
+        i=jnp.zeros((capacity,), jnp.int32),
+        plane_world=plane,
+        plane_meas=plane,
+        sqrt_info=jnp.tile(jnp.eye(4, dtype=dtype), (capacity, 1, 1)),
+        mask=jnp.zeros((capacity,), bool),
+        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+    )
+
+
 def empty_graph(
-    n_between: int, n_priors: int = 4, n_point_priors: int = 0, n_quat_priors: int = 0, dtype=jnp.float64
+    n_between: int,
+    n_priors: int = 4,
+    n_point_priors: int = 0,
+    n_quat_priors: int = 0,
+    n_vec_priors: int = 0,
+    n_plane_factors: int = 0,
+    dtype=jnp.float64,
 ) -> GraphData:
     return GraphData(
         between=_empty_between(n_between, dtype),
         priors=_empty_priors(n_priors, dtype),
         point_priors=_empty_point_priors(max(n_point_priors, 1), dtype),
         quat_priors=_empty_quat_priors(max(n_quat_priors, 1), dtype),
+        vec_priors=_empty_vec_priors(max(n_vec_priors, 1), dtype),
+        plane_factors=_empty_plane_factors(max(n_plane_factors, 1), dtype),
     )

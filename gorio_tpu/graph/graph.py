@@ -41,6 +41,8 @@ class PoseGraph:
     _priors: list = field(default_factory=list)
     _point_priors: list = field(default_factory=list)
     _quat_priors: list = field(default_factory=list)
+    _vec_priors: list = field(default_factory=list)
+    _plane_factors: list = field(default_factory=list)
 
     # ---- vertices -------------------------------------------------------
     def add_pose(self, T) -> int:
@@ -67,6 +69,20 @@ class PoseGraph:
     def add_quat_prior(self, i, R_meas, info, robust_delta=math.inf):
         self._quat_priors.append((i, np.asarray(R_meas, self.dtype), _sqrt_info(info, 3, self.dtype), robust_delta))
 
+    def add_vec_prior(self, i, dir_world, dir_meas, info, robust_delta=math.inf):
+        """Parity: add_se3_prior_vec_edge (e.g. gravity alignment)."""
+        self._vec_priors.append(
+            (i, np.asarray(dir_world, self.dtype), np.asarray(dir_meas, self.dtype),
+             _sqrt_info(info, 3, self.dtype), robust_delta)
+        )
+
+    def add_plane_factor(self, i, plane_world, plane_meas, info, robust_delta=math.inf):
+        """Parity: add_se3_plane_edge with a fixed global plane (floor/ground)."""
+        self._plane_factors.append(
+            (i, np.asarray(plane_world, self.dtype), np.asarray(plane_meas, self.dtype),
+             _sqrt_info(info, 4, self.dtype), robust_delta)
+        )
+
     # ---- freeze ---------------------------------------------------------
     def freeze(self, capacity_between=None, capacity_unary=None):
         K = len(self.poses)
@@ -76,6 +92,8 @@ class PoseGraph:
             _pad_to(len(self._priors), capacity_unary),
             _pad_to(len(self._point_priors), capacity_unary),
             _pad_to(len(self._quat_priors), capacity_unary),
+            _pad_to(len(self._vec_priors), capacity_unary),
+            _pad_to(len(self._plane_factors), capacity_unary),
             dtype=jdtype,
         )
         b = g.between
@@ -116,7 +134,30 @@ class PoseGraph:
                 mask=q.mask.at[n].set(True),
                 robust_delta=q.robust_delta.at[n].set(rd),
             )
-        graph = GraphData(between=b, priors=p, point_priors=pp, quat_priors=q)
+        v = g.vec_priors
+        for n, (i, dw, dm, sq, rd) in enumerate(self._vec_priors):
+            v = v._replace(
+                i=v.i.at[n].set(i),
+                dir_world=v.dir_world.at[n].set(dw),
+                dir_meas=v.dir_meas.at[n].set(dm),
+                sqrt_info=v.sqrt_info.at[n].set(sq),
+                mask=v.mask.at[n].set(True),
+                robust_delta=v.robust_delta.at[n].set(rd),
+            )
+        pf = g.plane_factors
+        for n, (i, pw, pm, sq, rd) in enumerate(self._plane_factors):
+            pf = pf._replace(
+                i=pf.i.at[n].set(i),
+                plane_world=pf.plane_world.at[n].set(pw),
+                plane_meas=pf.plane_meas.at[n].set(pm),
+                sqrt_info=pf.sqrt_info.at[n].set(sq),
+                mask=pf.mask.at[n].set(True),
+                robust_delta=pf.robust_delta.at[n].set(rd),
+            )
+        graph = GraphData(
+            between=b, priors=p, point_priors=pp, quat_priors=q,
+            vec_priors=v, plane_factors=pf,
+        )
         return jnp.asarray(np.stack(self.poses), dtype=jdtype), graph
 
     # ---- persistence (g2o text format) ---------------------------------

@@ -24,9 +24,11 @@ from ..core import lie
 from .factors import (
     BetweenFactors,
     GraphData,
+    GroundPlaneFactors,
     PointPriorFactors,
     PriorFactors,
     QuatPriorFactors,
+    VecPriorFactors,
     huber_weight,
     retract,
 )
@@ -144,6 +146,22 @@ def build_normal_equations(poses, graph: GraphData):
         QuatPriorFactors.residual,
         (graph.quat_priors.R_meas,),
     )
+    Hb, bb, chi2 = add_unary(
+        Hb,
+        bb,
+        chi2,
+        graph.vec_priors,
+        VecPriorFactors.residual,
+        (graph.vec_priors.dir_world, graph.vec_priors.dir_meas),
+    )
+    Hb, bb, chi2 = add_unary(
+        Hb,
+        bb,
+        chi2,
+        graph.plane_factors,
+        GroundPlaneFactors.residual,
+        (graph.plane_factors.plane_world, graph.plane_factors.plane_meas),
+    )
     return Hb, bb, chi2
 
 
@@ -169,6 +187,18 @@ def graph_chi2(poses, graph: GraphData):
     q = graph.quat_priors
     r = jax.vmap(lambda i, m: QuatPriorFactors.residual(poses[i], m))(q.i, q.R_meas)
     _, _, c = _weighted(r, q.sqrt_info, q.robust_delta, q.mask)
+    c2 += c
+    v = graph.vec_priors
+    r = jax.vmap(lambda i, dw, dm: VecPriorFactors.residual(poses[i], dw, dm))(
+        v.i, v.dir_world, v.dir_meas
+    )
+    _, _, c = _weighted(r, v.sqrt_info, v.robust_delta, v.mask)
+    c2 += c
+    pl_ = graph.plane_factors
+    r = jax.vmap(lambda i, pw, pm: GroundPlaneFactors.residual(poses[i], pw, pm))(
+        pl_.i, pl_.plane_world, pl_.plane_meas
+    )
+    _, _, c = _weighted(r, pl_.sqrt_info, pl_.robust_delta, pl_.mask)
     c2 += c
     return c2
 

@@ -40,6 +40,12 @@ class OdometryConfig(NamedTuple):
     registration: str = "apdgicp"  # "apdgicp" | "gicp" | "ndt"
     gicp: GICPConfig = GICPConfig()
     ndt: NDTConfig = NDTConfig()
+    # scan-to-submap mode (`:602-618`): register against the merged last-N
+    # keyframe clouds instead of the single last keyframe
+    enable_scan_to_map: bool = False
+    max_submap_frames: int = 5
+    submap_resolution: float = 0.25
+    submap_capacity: int = 8192
 
 
 class OdometryStatus(NamedTuple):
@@ -64,6 +70,30 @@ class ScanMatchingOdometry:
     egovel_cum: np.ndarray = field(default_factory=lambda: np.eye(4))
     last_stamp: Optional[float] = None
     statuses: list = field(default_factory=list)
+    # scan-to-map state: (pose, cloud) of the last N keyframes
+    _submap_frames: list = field(default_factory=list)
+
+    def _rebuild_submap(self):
+        """Merge the last-N keyframe clouds into the current keyframe frame
+        (`:602-618`); fixed-capacity voxel downsample keeps shapes static."""
+        from ..core.pointcloud import make_cloud, voxel_downsample
+        import jax.numpy as jnp
+
+        ref_pose_inv = np.linalg.inv(self.keyframe_pose)
+        pts = []
+        for pose, cloud in self._submap_frames[-self.cfg.max_submap_frames :]:
+            T = ref_pose_inv @ pose
+            xyz = np.asarray(cloud.xyz)
+            m = np.asarray(cloud.mask)
+            pts.append(xyz[m] @ T[:3, :3].T + T[:3, 3])
+        allpts = np.concatenate(pts, axis=0)
+        merged = make_cloud(jnp.asarray(allpts), capacity=max(len(allpts), 1))
+        merged = voxel_downsample(merged, self.cfg.submap_resolution)
+        # repack to the fixed submap capacity (valid points first)
+        xyz = np.asarray(merged.xyz)[np.asarray(merged.mask)]
+        self.keyframe_cloud = make_cloud(
+            jnp.asarray(xyz[: self.cfg.submap_capacity]), capacity=self.cfg.submap_capacity
+        )
 
     def _align(self, source: PointCloud, target: PointCloud, guess):
         if self.cfg.registration == "ndt":
@@ -77,6 +107,8 @@ class ScanMatchingOdometry:
             self.keyframe_cloud = cloud
             self.keyframe_stamp = stamp
             self.last_stamp = stamp
+            if self.cfg.enable_scan_to_map:
+                self._submap_frames.append((self.keyframe_pose.copy(), cloud))
             return self.odom.copy()
 
         # cumulative ego-velocity delta since the last frame (`:356-365`)
@@ -138,8 +170,12 @@ class ScanMatchingOdometry:
             or ddt_kf > self.cfg.keyframe_delta_time
         ):
             self.keyframe_pose = self.odom.copy()
-            self.keyframe_cloud = cloud
             self.keyframe_stamp = stamp
             self.prev_trans_s2s = np.eye(4)
+            if self.cfg.enable_scan_to_map:
+                self._submap_frames.append((self.keyframe_pose.copy(), cloud))
+                self._rebuild_submap()
+            else:
+                self.keyframe_cloud = cloud
 
         return self.odom.copy()

@@ -1,0 +1,45 @@
+"""Registration backends + method factory.
+
+`select_registration` is the counterpart of `select_registration_method`
+(`src/radar_graph_slam/registrations.cpp:23-139`): maps a method name to a
+configured align callable `(source, target, init_T) -> LMResult`. The CUDA
+variants of the reference map to the same TPU kernels (the "CUDA backend" IS
+the XLA/Pallas path here), so FAST_VGICP_CUDA and NDT_CUDA alias their
+non-CUDA spellings.
+"""
+
+from __future__ import annotations
+
+from .gicp import GICPConfig, gicp_align  # noqa: F401
+from .knn import knn, nn1  # noqa: F401
+from .lsq import LMConfig, LMResult, gn_optimize, lm_optimize  # noqa: F401
+from .ndt import NDTConfig, ndt_align  # noqa: F401
+from .vgicp import VGICPConfig, vgicp_align  # noqa: F401
+
+_METHODS = {
+    "FAST_GICP": ("gicp", "gicp"),
+    "FAST_APDGICP": ("gicp", "apdgicp"),
+    "FAST_VGICP": ("vgicp", None),
+    "FAST_VGICP_CUDA": ("vgicp", None),
+    "GICP": ("gicp", "gicp"),
+    "GICP_OMP": ("gicp", "gicp"),
+    "ICP": ("gicp", "gicp"),  # point covariances ~ identity would be pure ICP;
+    # GICP with PLANE regularization strictly dominates it on TPU
+    "NDT": ("ndt", None),
+    "NDT_OMP": ("ndt", None),
+    "NDT_CUDA": ("ndt", None),
+}
+
+
+def select_registration(method: str = "FAST_APDGICP", **overrides):
+    """Return `align(source, target, init_T=None) -> LMResult` for the named
+    method (names as in the reference's launch files)."""
+    kind, mode = _METHODS[method.upper()]
+    if kind == "gicp":
+        cfg = GICPConfig(mode=mode, **overrides)
+        return lambda s, t, init_T=None: gicp_align(s, t, init_T=init_T, cfg=cfg)
+    if kind == "vgicp":
+        cfg = VGICPConfig(**overrides)
+        return lambda s, t, init_T=None: vgicp_align(s, t, init_T=init_T, cfg=cfg)
+    cfg = NDTConfig(**overrides)
+    return lambda s, t, init_T=None: ndt_align(s, t, init_T=init_T, cfg=cfg)

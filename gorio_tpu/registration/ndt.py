@@ -157,6 +157,25 @@ def ndt_score(source: PointCloud, vmap: VoxelGaussianMap, T, cfg: NDTConfig = ND
     return jnp.sum(jnp.where(found, score, 0.0))
 
 
+def _gather_correspondences(source, vmap, T, cfg):
+    """Neighbor-voxel gather at pose T: (found, mu, C) each (N, O, ...)."""
+    moved = source.xyz @ T[:3, :3].T + T[:3, 3]
+    ijk = _point_ijk(moved, cfg.resolution, vmap.origin)
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
+    keys = _voxel_key_3d(ijk[:, None, :] + offsets[None, :, :])
+    idx, found = _lookup(vmap.keys, keys.reshape(-1))
+    idx = idx.reshape(keys.shape)
+    found = found.reshape(keys.shape) & vmap.valid[idx] & source.mask[:, None]
+    return found, vmap.means[idx], vmap.inv_covs[idx]
+
+
+def _score_cached(source, found, mu, C, d1, d2, T):
+    moved = source.xyz @ T[:3, :3].T + T[:3, 3]
+    x = moved[:, None, :] - mu
+    md2 = jnp.einsum("noi,noij,noj->no", x, C, x)
+    return jnp.sum(jnp.where(found, d1 * jnp.exp(-0.5 * d2 * md2), 0.0))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def ndt_align_with_map(
     source: PointCloud,
@@ -169,35 +188,62 @@ def ndt_align_with_map(
     `setInputTarget`, outside the timed `align()`).
 
     Parity: `computeTransformation`/`computeDerivatives` + `computeStepLengthMT`
-    (`ndt_omp_impl.hpp:130-320,773-860`) — derivatives via autodiff instead of
-    the hand-derived angle-derivative tables."""
+    (`ndt_omp_impl.hpp:130-320,773-860`). Derivatives are the closed-form
+    per-point gradient/Hessian of the exponential score (one fused batched
+    pass, no autodiff; the rotation-curvature "point hessian" term is dropped
+    — Gauss-Newton flavor — which the step-length search absorbs).
+    Correspondence gathers are frozen during the line search, like the
+    reference freezing correspondences inside `computeStepLengthMT`."""
     dtype = source.xyz.dtype
-
-    def score_at(T):
-        return ndt_score(source, vmap_t, T, cfg)
-
-    def score_delta(delta, T):
-        return score_at(lie.se3_exp_split(delta) @ T)
-
+    d1, d2 = _gauss_coeffs(cfg, dtype)
     alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05], dtype)
+
+    def derivatives(found, mu, C, T):
+        """g (6,), H (6,6) of the summed score at T (left-mult delta)."""
+        moved = source.xyz @ T[:3, :3].T + T[:3, 3]
+        x = moved[:, None, :] - mu  # (N, O, 3)
+        Cx = jnp.einsum("noij,noj->noi", C, x)
+        md2 = jnp.einsum("noi,noi->no", x, Cx)
+        e = jnp.exp(-0.5 * d2 * md2)
+        coef = jnp.where(found, -d2 * d1 * e, 0.0)  # > 0 per matched pair
+        score = jnp.sum(jnp.where(found, d1 * e, 0.0))
+        # J = dx/ddelta = [-hat(moved) | I]; u = J^T C x
+        hm = lie.hat(moved)  # (N, 3, 3)
+        u_rot = jnp.einsum("nij,noj->noi", hm, Cx)  # hat(m) @ Cx
+        u = jnp.concatenate([u_rot, Cx], axis=-1)  # (N, O, 6)
+        g = jnp.einsum("no,noi->i", coef, u)
+        # J^T C J blocks with A = -hat(m):
+        #   rr = A^T C A = hat C hat^T,  rt = A^T C = hat C,  tt = C
+        ChmT = jnp.einsum("noij,nkj->noik", C, hm)  # C @ hat^T
+        rr = jnp.einsum("nij,nojk->noik", hm, ChmT)
+        rt = jnp.einsum("nij,nojk->noik", hm, C)
+        JTCJ = jnp.concatenate(
+            [
+                jnp.concatenate([rr, rt], axis=-1),
+                jnp.concatenate([jnp.swapaxes(rt, -1, -2), C], axis=-1),
+            ],
+            axis=-2,
+        )  # (N, O, 6, 6)
+        H = jnp.einsum("no,noij->ij", coef, JTCJ) - d2 * jnp.einsum(
+            "no,noi,noj->ij", coef, u, u
+        )
+        return score, g, H
 
     def body(state):
         T, it, done, last_score = state
-        g = jax.grad(score_delta)(jnp.zeros(6, dtype), T)
-        H = jax.hessian(score_delta)(jnp.zeros(6, dtype), T)
-        # Newton direction with LM-style regularization if H not PD
+        found, mu, C = _gather_correspondences(source, vmap_t, T, cfg)
+        _, g, H = derivatives(found, mu, C, T)
         lam = 1e-4 * jnp.maximum(jnp.max(jnp.abs(jnp.diag(H))), 1.0)
         d = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=dtype), g)
-        # normalize to the reference's step_size cap, then parallel line search
-        # over both the (possibly indefinite) Newton direction and steepest
-        # descent — cheaper on TPU than More-Thuente bracketing
         d_norm = jnp.linalg.norm(d)
         d_capped = jnp.where(d_norm > 1.0, d / jnp.maximum(d_norm, 1e-12), d)
         g_dir = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
         cand = jnp.concatenate(
             [alphas[:, None] * d_capped[None, :], alphas[:, None] * g_dir[None, :]]
         )
-        scores = jax.vmap(lambda dd: score_delta(dd, T))(cand)
+        scores = jax.vmap(
+            lambda dd: _score_cached(source, found, mu, C, d1, d2, lie.se3_exp_split(dd) @ T)
+        )(cand)
         best = jnp.argmin(scores)
         improved = scores[best] < last_score
         step = jnp.where(improved, cand[best], jnp.zeros(6, dtype))
@@ -209,11 +255,12 @@ def ndt_align_with_map(
         _, it, done, _ = state
         return (it < cfg.max_iterations) & (~done)
 
-    init_score = score_at(init_T)
+    init_score = ndt_score(source, vmap_t, init_T, cfg)
     T, iters, _, final_score = jax.lax.while_loop(
         cond, body, (init_T, 0, False, init_score)
     )
-    H = jax.hessian(score_delta)(jnp.zeros(6, dtype), T)
+    found, mu, C = _gather_correspondences(source, vmap_t, T, cfg)
+    _, _, H = derivatives(found, mu, C, T)
     return LMResult(
         T=T, H=H, error=final_score, converged=jnp.array(True), iterations=iters
     )

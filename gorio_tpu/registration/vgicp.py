@@ -1,0 +1,137 @@
+"""Voxelized GICP (VGICP): distribution-to-distribution over a voxel map.
+
+TPU-native counterpart of `FastVGICP` (`fast_apdgicp/include/fast_gicp/
+fast_vgicp.hpp` + impl, SURVEY.md §2 #20) and of the CUDA voxel pipeline
+(#21 `FastVGICPCuda`): the target becomes a Gaussian voxel map (mean +
+covariance per voxel, additive accumulation of the per-point regularized
+covariances), correspondences are DIRECT1/7/27 voxel lookups of each
+transformed source point, and the Mahalanobis distance uses
+(C_voxel + T C_src T^T)^{-1}. Reuses the sorted-key voxel machinery from
+`ndt.py` and the LM driver from `lsq.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.pointcloud import PointCloud, masked_min_corner
+from .gicp import _inv3, knn_covariances
+from .lsq import LMConfig, LMResult, lm_optimize
+from .ndt import _NEIGHBOR_OFFSETS, _SENTINEL, _lookup, _point_ijk, _voxel_key_3d
+
+
+class VGICPConfig(NamedTuple):
+    resolution: float = 1.0
+    k_correspondences: int = 20
+    plane_eps: float = 1e-3
+    neighborhood: str = "direct1"  # reference default DIRECT1 for fast_vgicp
+    voxel_capacity: int = 8192
+    min_points_per_voxel: int = 1
+    lm: LMConfig = LMConfig()
+
+
+class GaussianVoxelMap(NamedTuple):
+    keys: jax.Array
+    means: jax.Array  # (V, 3)
+    covs: jax.Array  # (V, 3, 3) accumulated regularized covariances
+    counts: jax.Array  # (V,)
+    valid: jax.Array
+    origin: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_gaussian_voxel_map(cloud: PointCloud, cfg: VGICPConfig = VGICPConfig()) -> GaussianVoxelMap:
+    """Additive voxel accumulation of per-point (PLANE-regularized) covariances
+    — parity with `FastVGICP::create_voxelmap` (additive mode)."""
+    n = cloud.capacity
+    dtype = cloud.xyz.dtype
+    pt_cov, _ = knn_covariances(cloud.xyz, cloud.mask, cfg.k_correspondences, cfg.plane_eps)
+    origin = masked_min_corner(cloud.xyz, cloud.mask, pad=2.0 * cfg.resolution)
+    ijk = _point_ijk(cloud.xyz, cfg.resolution, origin)
+    key = jnp.where(cloud.mask, _voxel_key_3d(ijk), _SENTINEL)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    xyz_s = cloud.xyz[order]
+    cov_s = pt_cov[order]
+    mask_s = cloud.mask[order]
+    is_head = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    w = mask_s.astype(dtype)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=n)
+    mean = jax.ops.segment_sum(xyz_s * w[:, None], seg, num_segments=n)
+    mean = mean / jnp.maximum(cnt, 1.0)[:, None]
+    cov = jax.ops.segment_sum(cov_s * w[:, None, None], seg, num_segments=n)
+    cov = cov / jnp.maximum(cnt, 1.0)[:, None, None]
+    head_key = jax.ops.segment_min(jnp.where(mask_s, key_s, _SENTINEL), seg, num_segments=n)
+    valid = cnt >= cfg.min_points_per_voxel
+    take = min(cfg.voxel_capacity, n)
+    keys_out = jnp.where(valid, head_key, _SENTINEL)[:take]
+    order2 = jnp.argsort(keys_out)
+    return GaussianVoxelMap(
+        keys=keys_out[order2],
+        means=mean[:take][order2],
+        covs=cov[:take][order2],
+        counts=cnt[:take][order2],
+        valid=valid[:take][order2],
+        origin=origin,
+    )
+
+
+def vgicp_align(
+    source: PointCloud,
+    target: PointCloud,
+    init_T=None,
+    cfg: VGICPConfig = VGICPConfig(),
+) -> LMResult:
+    dtype = source.xyz.dtype
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=dtype)
+    vmap_t = build_gaussian_voxel_map(target, cfg)
+    src_cov, _ = knn_covariances(source.xyz, source.mask, cfg.k_correspondences, cfg.plane_eps)
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
+
+    def correspondences(T):
+        R = T[:3, :3]
+        moved = source.xyz @ R.T + T[:3, 3]
+        ijk = _point_ijk(moved, cfg.resolution, vmap_t.origin)
+        keys = _voxel_key_3d(ijk[:, None, :] + offsets[None, :, :])  # (N, O)
+        idx, found = _lookup(vmap_t.keys, keys.reshape(-1))
+        idx = idx.reshape(keys.shape)
+        found = found.reshape(keys.shape) & vmap_t.valid[idx] & source.mask[:, None]
+        cov_T = R @ src_cov @ R.T  # (N, 3, 3)
+        RCR = vmap_t.covs[idx] + cov_T[:, None]  # (N, O, 3, 3)
+        mah = _inv3(RCR)
+        return idx, found, mah, moved
+
+    def error_terms(T, idx, found, mah):
+        moved = source.xyz @ T[:3, :3].T + T[:3, 3]
+        err = vmap_t.means[idx] - moved[:, None, :]  # (N, O, 3)
+        m_err = jnp.einsum("noij,noj->noi", mah, err)
+        cost = jnp.sum(jnp.where(found, jnp.einsum("noi,noi->no", err, m_err), 0.0))
+        return moved, err, m_err, cost
+
+    def linearize(T):
+        idx, found, mah, _ = correspondences(T)
+        moved, err, m_err, cost = error_terms(T, idx, found, mah)
+        sk = lie.hat(moved)  # (N, 3, 3)
+        okf = found.astype(dtype)
+        MS = jnp.einsum("noij,njk->noik", mah, sk)
+        H_rr = jnp.einsum("nji,nojk,no->ik", sk, MS, okf)
+        H_rt = -jnp.einsum("nji,nojk,no->ik", sk, mah, okf)
+        H_tt = jnp.einsum("noij,no->ij", mah, okf)
+        H = jnp.block([[H_rr, H_rt], [H_rt.T, H_tt]])
+        b_r = jnp.einsum("nji,noj,no->i", sk, m_err, okf)
+        b_t = -jnp.einsum("noi,no->i", m_err, okf)
+        b = jnp.concatenate([b_r, b_t])
+        return cost, H, b, (idx, found, mah)
+
+    def compute_error(T, aux):
+        idx, found, mah = aux
+        return error_terms(T, idx, found, mah)[3]
+
+    return lm_optimize(linearize, compute_error, init_T, cfg.lm)

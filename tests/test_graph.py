@@ -177,3 +177,38 @@ def test_save_load_roundtrip(tmp_path):
     for (ea, eb) in zip(g._between, g2._between):
         np.testing.assert_allclose(ea[2], eb[2], atol=1e-9)  # T_meas
         np.testing.assert_allclose(ea[3].T @ ea[3], eb[3].T @ eb[3], atol=1e-9)  # info
+
+
+def test_vec_and_plane_factors():
+    """Gravity direction + ground-plane factors constrain roll/pitch/z."""
+    rng = np.random.default_rng(7)
+    n = 8
+    truth = _chain_truth(n, rng)
+    g = PoseGraph()
+    for T in truth:
+        # corrupt roll/pitch/z badly
+        noise = np.eye(4)
+        noise[:3, :3] = Rotation.from_euler("XY", rng.normal(scale=0.1, size=2)).as_matrix()
+        noise[2, 3] = rng.normal(scale=0.3)
+        g.add_pose(T @ noise)
+    for k in range(1, n):
+        g.add_between(k - 1, k, _rel(truth[k - 1], truth[k]), info=np.eye(6) * 1.0)
+    g.add_prior(0, truth[0], info=np.eye(6) * 1e6)
+    for k in range(n):
+        R = truth[k][:3, :3]
+        t = truth[k][:3, 3]
+        # gravity (world z) observed in body frame
+        g.add_vec_prior(k, [0, 0, 1.0], R.T @ np.array([0, 0, 1.0]), info=np.eye(3) * 100.0)
+        # ground plane z = -0.7 observed in body frame
+        n_w = np.array([0, 0, 1.0]); d_w = 0.7
+        plane_meas = np.concatenate([R.T @ n_w, [n_w @ t + d_w]])
+        g.add_plane_factor(k, [0, 0, 1.0, 0.7], plane_meas, info=np.eye(4) * 100.0)
+    p0, gd = g.freeze()
+    res = optimize_graph(p0, gd)
+    opt = np.asarray(res.poses)
+    # z error and tilt must be corrected
+    z_err = np.abs(opt[:, 2, 3] - np.stack(truth)[:, 2, 3])
+    assert np.max(z_err) < 0.05, z_err
+    for k in range(n):
+        tilt = np.arccos(np.clip((opt[k][:3, :3].T @ truth[k][:3, :3]).trace() / 2 - 0.5, -1, 1))
+        assert tilt < 0.05
