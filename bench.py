@@ -130,6 +130,13 @@ def main():
     res = ndt_align_with_map(source, vmap_t, init_T, cfg)
     res.T.block_until_ready()
     log(f"ndt converged in {int(res.iterations)} iters, score {float(res.error):.1f}")
+    # alignment quality: mean-squared inlier NN distance, the reference's
+    # fitness metric (`ndt_omp/README.md:27` quotes 0.214205 for DIRECT7)
+    from gorio_tpu.registration.gicp import fitness_score
+
+    fit, n_in = fitness_score(source, target, res.T, max_range=jnp.inf)
+    fit0, _ = fitness_score(source, target, init_T, max_range=jnp.inf)
+    log(f"fitness: {float(fit):.4f} (identity: {float(fit0):.4f}, ref 0.214205)")
 
     iters = 10
     t0 = time.perf_counter()
@@ -168,9 +175,11 @@ def secondary(log):
     from gorio_tpu.registration.gicp import GICPConfig, gicp_align
 
     dtype = jnp.float32
-    # APDGICP pair align (radar-scale 4096-pt clouds)
-    src = random_cloud(jax.random.PRNGKey(0), 4096, capacity=4096, dtype=dtype)
-    tgt = random_cloud(jax.random.PRNGKey(1), 4096, capacity=4096, dtype=dtype)
+    # APDGICP pair align (radar-scale 4096-pt clouds; overlapping views of the
+    # same scene, like consecutive scans)
+    tgt = random_cloud(jax.random.PRNGKey(0), 4096, capacity=4096, dtype=dtype)
+    shift = jnp.asarray([0.4, 0.15, 0.02], dtype)
+    src = tgt._replace(xyz=jnp.where(tgt.mask[:, None], tgt.xyz + shift, tgt.xyz))
     cfg = GICPConfig()
     r = gicp_align(src, tgt, cfg=cfg)
     r.T.block_until_ready()

@@ -99,6 +99,23 @@ class RadarGraphSLAM:
     def push_gps(self, t: float, xyz, has_z: bool = True):
         self.gps_queue.append(GPSMeasurement(t, np.asarray(xyz), has_z))
 
+    def push_nmea(self, t: float, sentence: str, converter=None):
+        """NMEA -> UTM -> world prior (parity: nmea_callback + flush_gps_queue)."""
+        from ..io.gps import GPSConverter, parse_nmea
+
+        if converter is None:
+            if not hasattr(self, "_gps_converter"):
+                self._gps_converter = GPSConverter()
+            converter = self._gps_converter
+        fix = parse_nmea(sentence)
+        if fix is None:
+            return False
+        p = converter.convert(fix)
+        if p is None:
+            return False
+        self.push_gps(t, p, has_z=fix.alt is not None)
+        return True
+
     # ---- keyframe path (`cloud_handler_callback`, `:626-743`) ------------
     def add_frame(self, stamp: float, cloud: PointCloud, odom_pose: np.ndarray) -> bool:
         if not self.updater.decide(odom_pose, stamp):
@@ -238,6 +255,56 @@ class RadarGraphSLAM:
         last = self.keyframes[-1]
         self.trans_odom2map = last.optimized_pose @ np.linalg.inv(last.odom_scan2scan)
         return opt
+
+    # ---- posterior inference (new capability; BASELINE configs 3-4) ------
+    def sample_posterior(
+        self, key, n_chains: int = 4, n_samples: int = 200, method: str = "hmc"
+    ):
+        """Sample the trajectory posterior around the GN solution.
+
+        Builds the frozen factor graph at the current keyframes, runs
+        `n_chains` HMC chains (vmapped — shard the chain axis over a mesh for
+        pod scale) preconditioned by the GN Hessian diagonal, and returns
+        (samples (chains, n, 6K), accept_rates, rhat (6K,), laplace_cov).
+        """
+        import jax
+
+        from ..inference.hmc import potential_scale_reduction, run_hmc
+        from ..inference.laplace import graph_logprob
+        from ..graph.solver import laplace_covariance
+
+        g = PoseGraph()
+        for kf in self.keyframes:
+            init = kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
+            g.add_pose(init)
+        g.add_prior(0, self.keyframes[0].odom_scan2scan, info=np.eye(6) * self.cfg.anchor_info)
+        for k in range(1, len(self.keyframes)):
+            prev, curr = self.keyframes[k - 1], self.keyframes[k]
+            rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
+            g.add_between(k - 1, k, rel, info=np.eye(6) * 100.0)
+            if curr.trans_integrated is not None:
+                var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
+                g.add_between(k - 1, k, curr.trans_integrated, info=np.diag(1.0 / var))
+        for loop in self.loops:
+            g.add_between(
+                loop.key_old, loop.key_new, loop.T_rel,
+                info=loop.information, robust_delta=self.cfg.loop_robust_delta,
+            )
+        poses0, graph = g.freeze()
+        res = optimize_graph(poses0, graph, self.cfg.solve)
+        lp = graph_logprob(res.poses, graph)
+        n = poses0.shape[0] * 6
+        inv_mass = 1.0 / jnp.maximum(jnp.diag(res.H), 1.0)
+        keys = jax.random.split(key, n_chains)
+        samples, accepts = jax.vmap(
+            lambda k: run_hmc(
+                k, lp, jnp.zeros(n, poses0.dtype), n_samples=n_samples,
+                step_size=0.5, n_leapfrog=12, inv_mass=inv_mass,
+            )
+        )(keys)
+        rhat = potential_scale_reduction(samples[:, n_samples // 4 :])
+        cov = laplace_covariance(res)
+        return samples, accepts, rhat, cov
 
     # ---- outputs ---------------------------------------------------------
     def trajectory(self):

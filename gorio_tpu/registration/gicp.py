@@ -41,20 +41,23 @@ def knn_covariances(xyz, mask, k: int = 20, plane_eps: float = 1e-3, block: int 
     """Per-point neighborhood covariances with PLANE regularization.
 
     Parity with `calculate_covariances` (`fast_apdgicp_impl.hpp:351-411`):
-    kNN -> covariance -> SVD -> eigenvalues replaced by (1, 1, eps).
+    kNN -> covariance -> spectrum clamped to (1, 1, eps) in the eigenbasis.
+    Uses the closed-form symmetric 3x3 eigendecomposition — `jnp.linalg.svd`
+    lowers to an iterative loop on TPU and dominated the align time.
     Returns (N, 3, 3)."""
+    from ..core.linalg import sym_eigh3
+
     idx, _ = knn(xyz, xyz, k, ref_mask=mask, block=block)
     neigh = xyz[idx]  # (N, k, 3)
     mean = jnp.mean(neigh, axis=1, keepdims=True)
     centered = neigh - mean
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
-    # PLANE regularization: keep the eigenbasis, clamp the spectrum
-    U, s, Vt = jnp.linalg.svd(cov, full_matrices=False)
-    values = jnp.broadcast_to(jnp.array([1.0, 1.0, plane_eps], xyz.dtype), s.shape)
-    reg = jnp.einsum("nij,nj,njk->nik", U, values, Vt)
-    # geo weight needs the *normalized* smallest singular value of the raw cov
+    lam, V = sym_eigh3(cov)  # ascending
+    values = jnp.broadcast_to(jnp.array([plane_eps, 1.0, 1.0], xyz.dtype), lam.shape)
+    reg = jnp.einsum("nij,nj,nkj->nik", V, values, V)
+    # geo weight: normalized smallest eigenvalue of the raw cov
     # (`fast_apdgicp_impl.hpp:266-269`)
-    geo_w = s[:, 2] / jnp.maximum(s[:, 0], 1e-30)
+    geo_w = jnp.maximum(lam[:, 0], 0.0) / jnp.maximum(lam[:, 2], 1e-30)
     return reg, geo_w
 
 

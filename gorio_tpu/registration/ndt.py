@@ -89,12 +89,15 @@ def build_voxel_map(cloud: PointCloud, cfg: NDTConfig = NDTConfig()) -> VoxelGau
     head_key = jax.ops.segment_min(jnp.where(mask_s, key_s, _SENTINEL), seg, num_segments=n)
     valid = cnt >= cfg.min_points_per_voxel
 
-    # eigenvalue inflation (`voxel_grid_covariance_omp_impl.hpp`)
-    evals, evecs = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3, dtype=dtype))
+    # eigenvalue inflation (`voxel_grid_covariance_omp_impl.hpp`); closed-form
+    # 3x3 eigh + inverse (the LAPACK lowerings loop on TPU)
+    from ..core.linalg import inv3, sym_eigh3
+
+    evals, evecs = sym_eigh3(cov + 1e-12 * jnp.eye(3, dtype=dtype))
     lam_max = evals[:, 2:3]
     evals_inf = jnp.maximum(evals, cfg.eig_mult * lam_max)
     cov_inf = jnp.einsum("vij,vj,vkj->vik", evecs, evals_inf, evecs)
-    inv_cov = jnp.linalg.inv(cov_inf + 1e-9 * jnp.eye(3, dtype=dtype))
+    inv_cov = inv3(cov_inf + 1e-9 * jnp.eye(3, dtype=dtype))
 
     # keep first V voxels (sorted by key; padding key huge)
     take = min(V, n)

@@ -121,3 +121,26 @@ def test_preintegration_factors_improve_consistency(sequence):
     kf_stamps, kf_poses = slam.trajectory()
     r = rte(kf_stamps, kf_poses, traj.t, gt_poses, delta=3)
     assert r < 0.4
+
+
+def test_posterior_sampling(sequence):
+    """HMC over the keyframe trajectory posterior (BASELINE configs 3-4)."""
+    traj, imu, stamps, scans = sequence
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, enable_preintegration=False))
+    for i, t in enumerate(stamps[:10]):
+        R, p = traj.interp_pose(np.array([t]))
+        T = np.eye(4)
+        T[:3, :3] = R[0]
+        T[:3, 3] = p[0]
+        slam.add_frame(float(t), scans[i], T)
+    slam.optimize()
+    samples, accepts, rhat, cov = slam.sample_posterior(
+        jax.random.PRNGKey(0), n_chains=2, n_samples=150
+    )
+    assert samples.shape[0] == 2
+    assert float(jnp.mean(accepts)) > 0.3
+    assert np.all(np.isfinite(np.asarray(rhat)))
+    # posterior spread should be within an order of magnitude of Laplace
+    emp = float(jnp.std(samples[:, 50:, -6:]))
+    lap = float(jnp.sqrt(jnp.mean(jnp.diag(cov)[-6:])))
+    assert 0.1 < emp / max(lap, 1e-12) < 10.0, (emp, lap)

@@ -102,3 +102,32 @@ def test_rpy_ypr():
     np.testing.assert_allclose(np.asarray(R), R_ref, atol=1e-12)
     y, p, r = lie.mat_to_ypr(R)
     np.testing.assert_allclose([float(y), float(p), float(r)], [0.7, -0.2, 0.1], atol=1e-9)
+
+
+def test_sym_eigh3_vs_numpy():
+    from gorio_tpu.core.linalg import inv3, sym_eigh3, sym_eigvals3
+
+    rng = np.random.default_rng(11)
+    B = rng.normal(size=(200, 3, 3))
+    A = B @ np.swapaxes(B, -1, -2)  # SPD
+    # include a plane-like, a degenerate-isotropic and a rank-1 case
+    A[0] = np.diag([1.0, 1.0, 1e-3])
+    A[1] = np.eye(3) * 2.0
+    A[2] = np.outer([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    lam, V = sym_eigh3(jnp.asarray(A))
+    lam_ref = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-6, atol=1e-8)
+    # reconstruction A = V diag(lam) V^T
+    recon = np.einsum("nij,nj,nkj->nik", np.asarray(V), np.asarray(lam), np.asarray(V))
+    np.testing.assert_allclose(recon, A, rtol=1e-4, atol=1e-6)
+    # orthonormal columns
+    VtV = np.einsum("nji,njk->nik", np.asarray(V), np.asarray(V))
+    np.testing.assert_allclose(VtV, np.broadcast_to(np.eye(3), VtV.shape), atol=1e-6)
+    # inv3
+    Areg = A + 1e-3 * np.eye(3)
+    inv = np.asarray(inv3(jnp.asarray(Areg)))
+    np.testing.assert_allclose(
+        np.einsum("nij,njk->nik", Areg, inv),
+        np.broadcast_to(np.eye(3), A.shape),
+        atol=1e-6,
+    )
