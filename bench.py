@@ -35,24 +35,11 @@ def log(*args):
 
 
 def load_pcd(path):
-    """Minimal binary/ascii PCD reader (x y z intensity, float32)."""
-    with open(path, "rb") as fh:
-        header = {}
-        while True:
-            line = fh.readline().decode("ascii", "ignore").strip()
-            key = line.split(" ", 1)[0].upper()
-            header[key] = line.split(" ", 1)[1] if " " in line else ""
-            if key == "DATA":
-                break
-        n = int(header["POINTS"])
-        fields = header["FIELDS"].split()
-        if header["DATA"].startswith("binary"):
-            data = np.frombuffer(fh.read(n * 4 * len(fields)), dtype=np.float32)
-            data = data.reshape(n, len(fields))
-        else:
-            data = np.loadtxt(fh, dtype=np.float32, max_rows=n)
-    xyz = data[:, :3]
-    inten = data[:, 3] if data.shape[1] > 3 else np.zeros(n, np.float32)
+    from gorio_tpu.io.pcd import read_pcd
+
+    xyz, inten = read_pcd(path)
+    if inten is None:
+        inten = np.zeros(len(xyz), np.float32)
     good = np.all(np.isfinite(xyz), axis=1)
     return xyz[good], inten[good]
 

@@ -157,7 +157,9 @@ def _correspondences(prob: GICPProblem, T, cfg: GICPConfig):
     R = T[:3, :3]
     t = T[:3, 3]
     moved = prob.src_xyz @ R.T + t
-    idx, sqd = nn1(moved, prob.tgt_xyz, ref_mask=prob.tgt_mask)
+    from ..ops.nn_pallas import nn1_best
+
+    idx, sqd = nn1_best(moved, prob.tgt_xyz, ref_mask=prob.tgt_mask)
     ok = (
         prob.src_mask
         & (sqd < cfg.max_correspondence_distance**2)

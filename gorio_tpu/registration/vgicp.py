@@ -22,7 +22,7 @@ from ..core import lie
 from ..core.pointcloud import PointCloud, masked_min_corner
 from .gicp import _inv3, knn_covariances
 from .lsq import LMConfig, LMResult, lm_optimize
-from .ndt import _NEIGHBOR_OFFSETS, _SENTINEL, _lookup, _point_ijk, _voxel_key_3d
+from .ndt import _BITS, _NEIGHBOR_OFFSETS, _SENTINEL, _point_ijk, _table_lookup, _voxel_key_3d
 
 
 class VGICPConfig(NamedTuple):
@@ -32,6 +32,7 @@ class VGICPConfig(NamedTuple):
     neighborhood: str = "direct1"  # reference default DIRECT1 for fast_vgicp
     voxel_capacity: int = 8192
     min_points_per_voxel: int = 1
+    table_size: int = 1 << 21
     lm: LMConfig = LMConfig()
 
 
@@ -42,6 +43,8 @@ class GaussianVoxelMap(NamedTuple):
     counts: jax.Array  # (V,)
     valid: jax.Array
     origin: jax.Array
+    table: jax.Array  # dense lookup table (see ndt.VoxelGaussianMap)
+    table_dims: jax.Array
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -72,13 +75,28 @@ def build_gaussian_voxel_map(cloud: PointCloud, cfg: VGICPConfig = VGICPConfig()
     take = min(cfg.voxel_capacity, n)
     keys_out = jnp.where(valid, head_key, _SENTINEL)[:take]
     order2 = jnp.argsort(keys_out)
+    keys_sorted = keys_out[order2]
+    valid_sorted = valid[:take][order2]
+    T = cfg.table_size
+    ki = keys_sorted >> (2 * _BITS)
+    kj = (keys_sorted >> _BITS) & ((1 << _BITS) - 1)
+    kk = keys_sorted & ((1 << _BITS) - 1)
+    dy = jnp.max(jnp.where(valid_sorted, kj, 0)) + 2
+    dz = jnp.max(jnp.where(valid_sorted, kk, 0)) + 2
+    lin = ((ki * dy + kj) * dz + kk) % T
+    slot = jnp.where(valid_sorted, lin, T)
+    table = jnp.full((T + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(take, dtype=jnp.int32)
+    )
     return GaussianVoxelMap(
-        keys=keys_out[order2],
+        keys=keys_sorted,
         means=mean[:take][order2],
         covs=cov[:take][order2],
         counts=cnt[:take][order2],
-        valid=valid[:take][order2],
+        valid=valid_sorted,
         origin=origin,
+        table=table,
+        table_dims=jnp.stack([dy, dz]),
     )
 
 
@@ -99,10 +117,11 @@ def vgicp_align(
         R = T[:3, :3]
         moved = source.xyz @ R.T + T[:3, 3]
         ijk = _point_ijk(moved, cfg.resolution, vmap_t.origin)
-        keys = _voxel_key_3d(ijk[:, None, :] + offsets[None, :, :])  # (N, O)
-        idx, found = _lookup(vmap_t.keys, keys.reshape(-1))
-        idx = idx.reshape(keys.shape)
-        found = found.reshape(keys.shape) & vmap_t.valid[idx] & source.mask[:, None]
+        idx, found = _table_lookup(
+            vmap_t.keys, vmap_t.table, vmap_t.table_dims, cfg.table_size,
+            ijk[:, None, :] + offsets[None, :, :],
+        )
+        found = found & vmap_t.valid[idx] & source.mask[:, None]
         cov_T = R @ src_cov @ R.T  # (N, 3, 3)
         RCR = vmap_t.covs[idx] + cov_T[:, None]  # (N, O, 3, 3)
         mah = _inv3(RCR)

@@ -61,3 +61,17 @@ def test_dataset_capacity_clips(tmp_path):
     ds = gn.NativeDataset([p], capacity=32)
     stamp, out_xyz, _, _ = next(iter(ds))
     assert out_xyz.shape == (32, 3)
+
+
+def test_pcd_roundtrip(tmp_path):
+    from gorio_tpu.io.pcd import read_pcd, write_pcd
+
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    inten = rng.random(100).astype(np.float32)
+    for binary in (True, False):
+        p = tmp_path / f"c_{binary}.pcd"
+        write_pcd(p, xyz, inten, binary=binary)
+        x2, i2 = read_pcd(p)
+        np.testing.assert_allclose(x2, xyz, atol=1e-5)
+        np.testing.assert_allclose(i2, inten, atol=1e-5)
