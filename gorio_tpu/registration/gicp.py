@@ -226,6 +226,16 @@ def make_gicp_callbacks(prob: GICPProblem, cfg: GICPConfig):
     return linearize, compute_error
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _gicp_align_jit(source, target, init_T, cfg: GICPConfig) -> LMResult:
+    prob = prepare_gicp(source, target, cfg)
+    linearize, compute_error = make_gicp_callbacks(prob, cfg)
+    return lm_optimize(linearize, compute_error, init_T, cfg.lm)
+
+
 def gicp_align(
     source: PointCloud,
     target: PointCloud,
@@ -233,12 +243,11 @@ def gicp_align(
     cfg: GICPConfig = GICPConfig(),
 ) -> LMResult:
     """Full APDGICP/GICP alignment source -> target. Returns T mapping source
-    points into the target frame."""
+    points into the target frame. Jitted (an un-jitted eager lax.while_loop
+    re-compiles on every call — 3.5 s/align instead of ~10 ms)."""
     if init_T is None:
         init_T = jnp.eye(4, dtype=source.xyz.dtype)
-    prob = prepare_gicp(source, target, cfg)
-    linearize, compute_error = make_gicp_callbacks(prob, cfg)
-    return lm_optimize(linearize, compute_error, init_T, cfg.lm)
+    return _gicp_align_jit(source, target, init_T, cfg)
 
 
 def fitness_score(source: PointCloud, target: PointCloud, T, max_range: float = 1.0):

@@ -100,15 +100,9 @@ def build_gaussian_voxel_map(cloud: PointCloud, cfg: VGICPConfig = VGICPConfig()
     )
 
 
-def vgicp_align(
-    source: PointCloud,
-    target: PointCloud,
-    init_T=None,
-    cfg: VGICPConfig = VGICPConfig(),
-) -> LMResult:
+@partial(jax.jit, static_argnames=("cfg",))
+def _vgicp_align_jit(source, target, init_T, cfg: VGICPConfig) -> LMResult:
     dtype = source.xyz.dtype
-    if init_T is None:
-        init_T = jnp.eye(4, dtype=dtype)
     vmap_t = build_gaussian_voxel_map(target, cfg)
     src_cov, _ = knn_covariances(source.xyz, source.mask, cfg.k_correspondences, cfg.plane_eps)
     offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
@@ -154,3 +148,15 @@ def vgicp_align(
         return error_terms(T, idx, found, mah)[3]
 
     return lm_optimize(linearize, compute_error, init_T, cfg.lm)
+
+
+def vgicp_align(
+    source: PointCloud,
+    target: PointCloud,
+    init_T=None,
+    cfg: VGICPConfig = VGICPConfig(),
+) -> LMResult:
+    """Jitted voxelized-GICP alignment (see gicp_align note on eager loops)."""
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=source.xyz.dtype)
+    return _vgicp_align_jit(source, target, init_T, cfg)
