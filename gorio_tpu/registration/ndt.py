@@ -51,6 +51,10 @@ class VoxelGaussianMap(NamedTuple):
     # dominated the align profile (13.7 of 17.2 ms per correspondence pass)
     table: jax.Array  # (T+1,) int32 voxel index per linear cell, -1 = empty
     table_dims: jax.Array  # (2,) [dy, dz] linearization strides (dynamic values)
+    # packed per-voxel payload [mu(3), c00,c01,c02,c11,c12,c22, 0...] so each
+    # correspondence needs ONE contiguous-row gather (symmetric inv-cov in 6
+    # entries: 40% less random-gather traffic than (3,3) + separate means)
+    packed: jax.Array  # (V, 16)
 
 
 _BITS = 10  # int32-safe (TPU without x64); 1024 cells/axis
@@ -126,14 +130,25 @@ def build_voxel_map(cloud: PointCloud, cfg: NDTConfig = NDTConfig()) -> VoxelGau
     table = jnp.full((T + 1,), -1, jnp.int32).at[slot].set(
         jnp.arange(take, dtype=jnp.int32)
     )
+    means_s = mean[:take][order2]
+    inv_s = inv_cov[:take][order2]
+    packed = jnp.zeros((take, 16), dtype)
+    packed = packed.at[:, 0:3].set(means_s)
+    packed = packed.at[:, 3].set(inv_s[:, 0, 0])
+    packed = packed.at[:, 4].set(inv_s[:, 0, 1])
+    packed = packed.at[:, 5].set(inv_s[:, 0, 2])
+    packed = packed.at[:, 6].set(inv_s[:, 1, 1])
+    packed = packed.at[:, 7].set(inv_s[:, 1, 2])
+    packed = packed.at[:, 8].set(inv_s[:, 2, 2])
     return VoxelGaussianMap(
         keys=keys_sorted,
-        means=mean[:take][order2],
-        inv_covs=inv_cov[:take][order2],
+        means=means_s,
+        inv_covs=inv_s,
         valid=valid_sorted,
         origin=origin,
         table=table,
         table_dims=jnp.stack([dy, dz]),
+        packed=packed,
     )
 
 
@@ -200,8 +215,25 @@ def ndt_score(source: PointCloud, vmap: VoxelGaussianMap, T, cfg: NDTConfig = ND
     return jnp.sum(jnp.where(found, score, 0.0))
 
 
+def _unpack(P):
+    """Packed rows -> (mu (..., 3), C (..., 3, 3))."""
+    mu = P[..., 0:3]
+    c00, c01, c02 = P[..., 3], P[..., 4], P[..., 5]
+    c11, c12, c22 = P[..., 6], P[..., 7], P[..., 8]
+    C = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        -2,
+    )
+    return mu, C
+
+
 def _gather_correspondences(source, vmap, T, cfg):
-    """Neighbor-voxel gather at pose T: (found, mu, C) each (N, O, ...)."""
+    """Neighbor-voxel gather at pose T: (found, mu, C) each (N, O, ...).
+    One contiguous-row gather of the packed payload."""
     moved = source.xyz @ T[:3, :3].T + T[:3, 3]
     ijk = _point_ijk(moved, cfg.resolution, vmap.origin)
     offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
@@ -210,7 +242,8 @@ def _gather_correspondences(source, vmap, T, cfg):
         ijk[:, None, :] + offsets[None, :, :],
     )
     found = found & vmap.valid[idx] & source.mask[:, None]
-    return found, vmap.means[idx], vmap.inv_covs[idx]
+    mu, C = _unpack(vmap.packed[idx])
+    return found, mu, C
 
 
 def _score_cached(source, found, mu, C, d1, d2, T):
@@ -240,7 +273,11 @@ def ndt_align_with_map(
     reference freezing correspondences inside `computeStepLengthMT`."""
     dtype = source.xyz.dtype
     d1, d2 = _gauss_coeffs(cfg, dtype)
-    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05], dtype)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1], dtype)
+    # candidate scoring only ranks steps; a strided quarter of the points is
+    # statistically plenty and cuts the line-search bandwidth 4x
+    ls_stride = 4
+    src_ls = jax.tree.map(lambda x: x[::ls_stride], source)
 
     def derivatives(found, mu, C, T):
         """g (6,), H (6,6) of the summed score at T (left-mult delta)."""
@@ -283,17 +320,23 @@ def ndt_align_with_map(
         d_capped = jnp.where(d_norm > 1.0, d / jnp.maximum(d_norm, 1e-12), d)
         g_dir = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
         cand = jnp.concatenate(
-            [alphas[:, None] * d_capped[None, :], alphas[:, None] * g_dir[None, :]]
+            [alphas[:, None] * d_capped[None, :], alphas[:2, None] * g_dir[None, :]]
         )
-        scores = jax.vmap(
-            lambda dd: _score_cached(source, found, mu, C, d1, d2, lie.se3_exp_split(dd) @ T)
+        found_ls = found[::ls_stride]
+        mu_ls = mu[::ls_stride]
+        C_ls = C[::ls_stride]
+        scores_ls = jax.vmap(
+            lambda dd: _score_cached(src_ls, found_ls, mu_ls, C_ls, d1, d2, lie.se3_exp_split(dd) @ T)
         )(cand)
-        best = jnp.argmin(scores)
-        improved = scores[best] < last_score
+        best = jnp.argmin(scores_ls)
+        # evaluate only the winning candidate at full resolution
+        T_best = lie.se3_exp_split(cand[best]) @ T
+        score_best = _score_cached(source, found, mu, C, d1, d2, T_best)
+        improved = score_best < last_score
         step = jnp.where(improved, cand[best], jnp.zeros(6, dtype))
-        T_new = lie.se3_exp_split(step) @ T
+        T_new = jnp.where(improved, T_best, T)
         done_new = (~improved) | (jnp.linalg.norm(step) < cfg.transformation_epsilon)
-        return T_new, it + 1, done_new, jnp.where(improved, scores[best], last_score)
+        return T_new, it + 1, done_new, jnp.where(improved, score_best, last_score)
 
     def cond(state):
         _, it, done, _ = state
