@@ -222,7 +222,47 @@ def secondary(log):
     for _ in range(10):
         out = qf(st, starts, queries)
     out.block_until_ready()
-    log(f"gp-interp: {W*Q*10/(time.perf_counter()-t0):.0f} points/s")
+    log(f"gp-interp: {W*Q*10/(time.perf_counter()-t0):.0f} points/s "
+        f"(reference Se3Integrator::get is ~1k-10k/s single core -> ~10^2-10^3x/chip)")
+
+    # HMC trajectory-posterior sampling throughput (north-star samples/s)
+    from gorio_tpu.inference.hmc import run_hmc
+
+    D = 50 * 6  # 50-keyframe trajectory
+
+    def lp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    CH = 16
+    keys = jax.random.split(jax.random.PRNGKey(7), CH)
+    f = jax.jit(jax.vmap(lambda k: run_hmc(k, lp, jnp.zeros(D, dtype), n_samples=64,
+                                           step_size=0.5, n_leapfrog=16)[0]))
+    out = f(keys)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = f(keys)
+    out.block_until_ready()
+    sps = CH * 64 * 5 / (time.perf_counter() - t0)
+    log(f"hmc trajectory samples: {sps:.0f} samples/s ({CH} chains, 300-dof)")
+
+    # batched loop-verification aligns (vmapped GICP over candidate pairs)
+    from gorio_tpu.registration.gicp import _gicp_align_jit
+
+    B2 = 8
+    tgts = jax.vmap(lambda k: random_cloud(k, 1024, capacity=1024, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(8), B2)
+    )
+    srcs = tgts._replace(xyz=tgts.xyz + jnp.asarray([0.3, 0.1, 0.0], dtype))
+    cfgb = GICPConfig()
+    fb = jax.jit(jax.vmap(lambda s, t: _gicp_align_jit(s, t, jnp.eye(4, dtype=dtype), cfgb).T))
+    Ts = fb(srcs, tgts)
+    Ts.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        Ts = fb(srcs, tgts)
+    Ts.block_until_ready()
+    log(f"batched gicp verify: {B2*5/(time.perf_counter()-t0):.1f} aligns/s (batch {B2})")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ class KeyFrame:
     trans_integrated: Optional[np.ndarray] = None  # GP-preintegrated delta
     preint_cov: Optional[np.ndarray] = None
     optimized_pose: Optional[np.ndarray] = None  # filled after graph solve
+    edge_info: Optional[np.ndarray] = None  # cached odometry-edge information
 
     def save(self, directory: str):
         """Parity: `KeyFrame::save` (`keyframe.cpp:22-59`)."""

@@ -197,10 +197,12 @@ class RadarGraphSLAM:
         for k in range(1, len(self.keyframes)):
             prev, curr = self.keyframes[k - 1], self.keyframes[k]
             rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
-            info, _ = calc_information_matrix(
-                curr.cloud, prev.cloud, jnp.asarray(rel), self.cfg.info
-            )
-            g.add_between(k - 1, k, rel, info=np.asarray(info))
+            if curr.edge_info is None:
+                info, _ = calc_information_matrix(
+                    curr.cloud, prev.cloud, jnp.asarray(rel), self.cfg.info
+                )
+                curr.edge_info = np.asarray(info)
+            g.add_between(k - 1, k, rel, info=curr.edge_info)
             if curr.trans_integrated is not None:
                 # stddev-diag information from the preint covariance (`:596-612`)
                 var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
@@ -317,6 +319,29 @@ class RadarGraphSLAM:
             ]
         )
         return stamps, poses
+
+    def export_markers(self, path: str):
+        """Nodes/edges/loops as JSON (counterpart of the rviz MarkerArray,
+        `radar_graph_slam_nodelet.cpp:885-1121`) for external visualization."""
+        import json
+
+        stamps, poses = self.trajectory()
+        data = {
+            "nodes": [
+                {"id": int(kf.index), "stamp": float(s), "position": p[:3, 3].tolist()}
+                for kf, s, p in zip(self.keyframes, stamps, poses)
+            ],
+            "edges": [
+                {"from": k - 1, "to": k, "type": "odometry"}
+                for k in range(1, len(self.keyframes))
+            ],
+            "loops": [
+                {"from": int(l.key_old), "to": int(l.key_new), "fitness": float(l.fitness)}
+                for l in self.loops
+            ],
+        }
+        with open(path, "w") as fh:
+            json.dump(data, fh, indent=1)
 
     def save(self, directory: str):
         """Dump graph + keyframes (parity: `DumpGraph` service, `:1129-1208`)."""
