@@ -144,3 +144,38 @@ def test_posterior_sampling(sequence):
     emp = float(jnp.std(samples[:, 50:, -6:]))
     lap = float(jnp.sqrt(jnp.mean(jnp.diag(cov)[-6:])))
     assert 0.1 < emp / max(lap, 1e-12) < 10.0, (emp, lap)
+
+
+def test_keyframe_save_load_roundtrip(sequence, tmp_path):
+    traj, imu, stamps, scans = sequence
+    from gorio_tpu.pipeline.keyframes import KeyFrame
+
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    kf = KeyFrame(index=7, stamp=12.5, odom_scan2scan=T, accum_distance=4.2, cloud=scans[0])
+    kf.utm_coord = np.array([100.0, 200.0, 5.0])
+    kf.save(str(tmp_path / "kf"))
+    kf2 = KeyFrame.load(str(tmp_path / "kf"))
+    assert kf2.index == 7 and kf2.stamp == 12.5
+    np.testing.assert_allclose(kf2.odom_scan2scan, T)
+    np.testing.assert_allclose(kf2.utm_coord, kf.utm_coord)
+    np.testing.assert_allclose(np.asarray(kf2.cloud.xyz), np.asarray(scans[0].xyz))
+    assert kf2.accum_distance == 4.2
+
+
+def test_marker_export(sequence, tmp_path):
+    import json
+
+    traj, imu, stamps, scans = sequence
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, enable_preintegration=False))
+    for i, t in enumerate(stamps[:6]):
+        R, p = traj.interp_pose(np.array([t]))
+        T = np.eye(4)
+        T[:3, :3] = R[0]
+        T[:3, 3] = p[0]
+        slam.add_frame(float(t), scans[i], T)
+    path = tmp_path / "markers.json"
+    slam.export_markers(str(path))
+    data = json.loads(path.read_text())
+    assert len(data["nodes"]) == len(slam.keyframes)
+    assert len(data["edges"]) == len(slam.keyframes) - 1
