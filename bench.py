@@ -193,7 +193,7 @@ def secondary(log):
     log(f"ego-velocity: {per_s:.0f} scans/s (batch {B})")
 
     # UGPM batched windows + GP-interp throughput
-    W = 32
+    W = 64
     G, V = 128, 32
     rng = np.random.default_rng(0)
     gyr_t = jnp.asarray(np.linspace(0, 1.0, G)[None].repeat(W, 0), dtype)

@@ -325,14 +325,15 @@ def ndt_align_with_map(
         found_ls = found[::ls_stride]
         mu_ls = mu[::ls_stride]
         C_ls = C[::ls_stride]
+        score_now_ls = _score_cached(src_ls, found_ls, mu_ls, C_ls, d1, d2, T)
         scores_ls = jax.vmap(
             lambda dd: _score_cached(src_ls, found_ls, mu_ls, C_ls, d1, d2, lie.se3_exp_split(dd) @ T)
         )(cand)
         best = jnp.argmin(scores_ls)
-        # evaluate only the winning candidate at full resolution
+        # accept on the strided score (consistent estimator of the full one)
         T_best = lie.se3_exp_split(cand[best]) @ T
-        score_best = _score_cached(source, found, mu, C, d1, d2, T_best)
-        improved = score_best < last_score
+        score_best = scores_ls[best] * ls_stride
+        improved = scores_ls[best] < score_now_ls
         step = jnp.where(improved, cand[best], jnp.zeros(6, dtype))
         T_new = jnp.where(improved, T_best, T)
         done_new = (~improved) | (jnp.linalg.norm(step) < cfg.transformation_epsilon)
