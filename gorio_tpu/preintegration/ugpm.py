@@ -165,15 +165,22 @@ class _GPStatePre(NamedTuple):
     prior_w: jax.Array  # (6,S)
 
 
-def _lm_solve(res_fn, x0, iters):
-    """Small dense LM (DENSE_NORMAL_CHOLESKY equivalent, `preint.h:943-952`)."""
+def _lm_solve(res_fn, x0, iters, jac_fn=None):
+    """Small dense LM (DENSE_NORMAL_CHOLESKY equivalent, `preint.h:943-952`).
+
+    `jac_fn` overrides the generic `jacfwd` (one JVP per state entry) with a
+    structured Jacobian — the rotation stage's residual is a 6-dim pointwise
+    function of linear maps of the state, so its exact Jacobian needs 6 JVPs
+    plus a matmul instead of 3*nb_state JVPs."""
     n = x0.shape[0]
     dtype = x0.dtype
+    if jac_fn is None:
+        jac_fn = jax.jacfwd(res_fn)
 
     def body(state, _):
         x, lam = state
         r = res_fn(x)
-        J = jax.jacfwd(res_fn)(x)
+        J = jac_fn(x)
         H = J.T @ J
         g = J.T @ r
         A = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
@@ -186,6 +193,45 @@ def _lm_solve(res_fn, x0, iters):
 
     (x, _), _ = jax.lax.scan(body, (x0, jnp.asarray(1e-6, dtype)), None, length=iters)
     return x
+
+
+def _rot_jacobian(s_rot_flat, st: "_GPStatePre", d_time):
+    """Structured Jacobian of `_residuals_rot` w.r.t. the stacked state.
+
+    Per gyro sample g: res_g = f(rot_g, drot_g) with rot_g = Ks_int_K_inv s,
+    drot_g = Ks_K_inv s (linear). J = df/d(rot,drot) (via one vmapped jacfwd
+    over 6 dims — the autodiff twin of `JacobianRes`, cost_functions.h:73-145)
+    composed with the precomputed kernel rows. GP-prior rows are constant."""
+    S = st.state_time.shape[0]
+    G = st.Ks_K_inv.shape[1]
+    dtype = s_rot_flat.dtype
+    s = s_rot_flat.reshape(3, S)
+    rot = jnp.stack([st.Ks_int_K_inv[i] @ s[i] for i in range(3)], axis=-1)
+    dr = jnp.stack([st.Ks_K_inv[i] @ s[i] for i in range(3)], axis=-1)
+    rot_vec = rot + d_time[:, None] * st.mean_rot[None, :]
+    d_rot = dr + st.mean_rot[None, :]
+
+    def f(rv, dv):
+        return jnp.einsum("ij,j->i", lie.so3_right_jacobian(rv), dv)
+
+    dfd = jax.vmap(jax.jacfwd(lambda x: f(x[:3], x[3:])))(
+        jnp.concatenate([rot_vec, d_rot], axis=-1)
+    )  # (G, 3, 6)
+    # J_data[(g,row), (axis,S)] = dfd[g,row,axis]*Ks_int_row + dfd[g,row,3+axis]*Ks_row
+    J_data = jnp.concatenate(
+        [
+            dfd[:, :, None, i, None] * st.Ks_int_K_inv[i][:, None, None, :]
+            + dfd[:, :, None, 3 + i, None] * st.Ks_K_inv[i][:, None, None, :]
+            for i in range(3)
+        ],
+        axis=2,
+    )  # (G, 3, 3, S)
+    J_data = J_data.reshape(G * 3, 3 * S)
+    # GP prior block: blockdiag of (KK_inv - I) * w per axis
+    eye = jnp.eye(S, dtype=dtype)
+    blocks = [(st.KK_inv[i] - eye) * st.prior_w[i][:, None] for i in range(3)]
+    J_prior = jax.scipy.linalg.block_diag(*blocks)
+    return jnp.concatenate([J_data, J_prior], axis=0)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -256,7 +302,10 @@ def ugpm_fit(
     )
     d_time_g = gyr_t - start_t
     res_rot = lambda x: _residuals_rot(x, pre, gyr, d_time_g)
-    s_rot_opt = _lm_solve(res_rot, s_rot.T.reshape(-1), cfg.lm_iters).reshape(3, S).T
+    jac_rot = lambda x: _rot_jacobian(x, pre, d_time_g)
+    s_rot_opt = _lm_solve(
+        res_rot, s_rot.T.reshape(-1), cfg.lm_iters, jac_fn=jac_rot
+    ).reshape(3, S).T
 
     # ---- stage 2: velocity channels (linear, rotation frozen) ------------
     # (`preint.h:954-967`: rot blocks set constant; VelCostFunction is then
