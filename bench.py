@@ -133,6 +133,18 @@ def main():
     ndt_ms = (time.perf_counter() - t0) / iters * 1000.0
     log(f"ndt direct7 align: {ndt_ms:.2f} ms (ref 1-thread {REF_MS_DIRECT7_1T} ms)")
 
+    # NDT DIRECT1 (the reference's fastest published config: 34.6 ms 1-thread,
+    # 17.2 ms 8-thread, `ndt_omp/README.md:29-47`)
+    cfg1 = cfg._replace(neighborhood="direct1")
+    r1 = ndt_align_with_map(source, vmap_t, init_T, cfg1)
+    r1.T.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r1 = ndt_align_with_map(source, vmap_t, init_T, cfg1)
+    r1.T.block_until_ready()
+    log(f"ndt direct1 align: {(time.perf_counter()-t0)/iters*1000:.2f} ms "
+        f"(ref 34.6 ms 1t / 17.2 ms 8t)")
+
     # ---- secondary metrics (stderr only) ---------------------------------
     try:
         secondary(log)

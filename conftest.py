@@ -24,3 +24,26 @@ try:
 except Exception:
     pass
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the CI/dev boxes can be tiny (2 vCPUs); XLA
+# CPU compiles of the bigger jits (vmapped UGPM, e2e pipelines) dominate the
+# suite wall time. Cache them across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live XLA executables after each test module. A long single-process
+    run accumulating hundreds of CPU executables has produced hard aborts
+    (SIGABRT inside XLA compile) on small boxes; the persistent cache above
+    makes re-jitting cheap."""
+    yield
+    jax.clear_caches()

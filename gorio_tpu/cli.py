@@ -7,6 +7,7 @@ Counterparts of the reference's CLI layer (SURVEY.md §2 Utility/CLI):
   evaluate    — ATE/RTE of a TUM trajectory vs ground truth
   align-traj  — estimate the rigid transform between two trajectories by
                 timestamp association (parity: `src/gps_traj_align.cpp`)
+  convert     — raw CSV/NPZ logs -> .grf sequence (parity: `src/ford2bag.py`)
   dump-config — write the default typed config tree
   bench       — run the benchmark
 
@@ -88,6 +89,10 @@ def cmd_slam(args):
     )
     for t, g in zip(imu["gyr_t"], imu["gyr"]):
         slam.push_imu(t, g)
+    # twist stream: precomputed samples when the dataset ships them, else the
+    # per-scan ego-velocity estimates below feed the backend (parity: the
+    # preprocessing nodelet publishing `/eagle_data/twist`)
+    online_twists = imu["vel_t"].size == 0
     for t, v in zip(imu["vel_t"], imu["vel"]):
         slam.push_twist(t, v)
 
@@ -105,6 +110,8 @@ def cmd_slam(args):
         with timer.stage("ego_velocity"):
             ego = estimate_ego_velocity(cloud, EgoVelConfig(), key=sub)
             v = np.asarray(ego.v)
+            if online_twists:
+                slam.push_twist(float(stamp), v)
         with timer.stage("scan_matching"):
             pose = odo.step(float(stamp), cloud, v)
         with timer.stage("backend"):
@@ -154,6 +161,31 @@ def cmd_align_traj(args):
         out[:, :3, 3] = (c * (R @ ep[:, :3, 3].T)).T + t
         out[:, :3, :3] = np.einsum("ij,njk->nik", R, ep[:, :3, :3])
         save_tum(args.output, es, out)
+
+
+def cmd_convert(args):
+    from .io.convert import convert_sequence
+
+    frames = []
+    for pat in args.frames:
+        from glob import glob
+
+        frames.extend(glob(pat))
+    # a broad glob easily swallows the sidecar files — drop them
+    side = {str(Path(p).resolve()) for p in (args.imu, args.gt) if p}
+    frames = [f for f in frames if str(Path(f).resolve()) not in side]
+    if not frames:
+        sys.exit("no input frames matched")
+    n = convert_sequence(
+        frames,
+        args.output,
+        imu_csv=args.imu,
+        gt_tum=args.gt,
+        rate=args.rate,
+        min_range=args.min_range,
+        max_range=args.max_range,
+    )
+    print(f"converted {n} frames -> {args.output}")
 
 
 def cmd_dump_config(args):
@@ -207,6 +239,16 @@ def main(argv=None):
     s.add_argument("--scale", action="store_true")
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_align_traj)
+
+    s = sub.add_parser("convert")
+    s.add_argument("frames", nargs="+", help="frame file globs (.csv/.npz/.npy)")
+    s.add_argument("--output", required=True)
+    s.add_argument("--imu", default=None, help="CSV t,wx,wy,wz[,vx,vy,vz]")
+    s.add_argument("--gt", default=None, help="ground-truth TUM file to bundle")
+    s.add_argument("--rate", type=float, default=10.0)
+    s.add_argument("--min-range", type=float, default=0.0)
+    s.add_argument("--max-range", type=float, default=float("inf"))
+    s.set_defaults(fn=cmd_convert)
 
     s = sub.add_parser("dump-config")
     s.add_argument("--output", default="gorio_config.json")
