@@ -9,10 +9,17 @@ tree is mounted, else synthesize clouds of the same scale, apply the same
 `align()` with a prebuilt target voxel map (the reference also builds the
 voxel grid in `setInputTarget`, outside its timed region).
 
+MEASUREMENT DISCIPLINE (tunneled-TPU quirk): any device->host value read
+(`int(x)`, `float(x)`, `np.asarray(x)`, indexing) permanently degrades
+per-dispatch latency for the rest of the process (~35us -> ~2.5ms, and far
+worse for big programs). `block_until_ready` is safe. So this file times
+everything first, holding results as device arrays, and fetches/prints all
+values only at the very end.
+
 Prints ONE JSON line:
   {"metric": "ndt_direct7_align_ms", "value": ..., "unit": "ms",
    "vs_baseline": <reference_ms / ours_ms>}
-Secondary throughput numbers (APDGICP, UGPM, ego-velocity, GP-interp, SMC)
+Secondary throughput numbers (APDGICP, UGPM, ego-velocity, GP-interp, HMC)
 go to stderr.
 """
 
@@ -66,11 +73,28 @@ def synth_pair(n=69000, seed=0):
     return (a, inten), (b, inten)
 
 
+def downsample_np(xyz, res=0.1):
+    """Host-side 0.1 m voxel centroid downsample (parity `align.cpp:58-70`)."""
+    origin = xyz.min(axis=0) - 1.0
+    key = np.floor((xyz - origin) / res).astype(np.int64)
+    key = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    xyz_s = xyz[order]
+    head = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+    seg = np.cumsum(head) - 1
+    n_seg = seg[-1] + 1
+    sums = np.zeros((n_seg, 3))
+    np.add.at(sums, seg, xyz_s)
+    cnt = np.bincount(seg)
+    return (sums / cnt[:, None]).astype(np.float32)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from gorio_tpu.core.pointcloud import make_cloud, voxel_downsample
+    from gorio_tpu.core.pointcloud import make_cloud
     from gorio_tpu.registration.ndt import NDTConfig, build_voxel_map, ndt_align_with_map
 
     log(f"devices: {jax.devices()}")
@@ -84,23 +108,6 @@ def main():
         log("reference PCDs not found; synthesizing same-scale pair")
         (tgt_xyz, tgt_i), (src_xyz, src_i) = synth_pair()
 
-    # 0.1 m voxel downsampling, parity with `align.cpp:58-70` (host-side
-    # numpy; the timed region is the alignment, matching the reference)
-    def downsample_np(xyz):
-        origin = xyz.min(axis=0) - 1.0
-        key = np.floor((xyz - origin) / 0.1).astype(np.int64)
-        key = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        xyz_s = xyz[order]
-        head = np.concatenate([[True], key_s[1:] != key_s[:-1]])
-        seg = np.cumsum(head) - 1
-        n_seg = seg[-1] + 1
-        sums = np.zeros((n_seg, 3))
-        np.add.at(sums, seg, xyz_s)
-        cnt = np.bincount(seg)
-        return (sums / cnt[:, None]).astype(np.float32)
-
     tgt_d = downsample_np(tgt_xyz)
     src_d = downsample_np(src_xyz)
     cap = 1 << int(np.ceil(np.log2(max(len(tgt_d), len(src_d)))))
@@ -113,43 +120,76 @@ def main():
     vmap_t.keys.block_until_ready()
     init_T = jnp.eye(4, dtype=dtype)
 
-    # warmup/compile
+    # warmup/compile (NO value fetches here — see module docstring)
     res = ndt_align_with_map(source, vmap_t, init_T, cfg)
     res.T.block_until_ready()
-    log(f"ndt converged in {int(res.iterations)} iters, score {float(res.error):.1f}")
-    # alignment quality: mean-squared inlier NN distance, the reference's
-    # fitness metric (`ndt_omp/README.md:27` quotes 0.214205 for DIRECT7)
-    from gorio_tpu.registration.gicp import fitness_score
 
-    fit, n_in = fitness_score(source, target, res.T, max_range=jnp.inf)
-    fit0, _ = fitness_score(source, target, init_T, max_range=jnp.inf)
-    log(f"fitness: {float(fit):.4f} (identity: {float(fit0):.4f}, ref 0.214205)")
+    # headline: synchronous single-align latency (block every call, median of
+    # 20 — the reference times exactly one blocking align)
+    sync_times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        res = ndt_align_with_map(source, vmap_t, init_T, cfg)
+        res.T.block_until_ready()
+        sync_times.append((time.perf_counter() - t0) * 1000.0)
+    ndt_ms = float(np.median(sync_times))
 
-    iters = 10
+    # pipelined throughput (async dispatch, one final block)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(100):
         res = ndt_align_with_map(source, vmap_t, init_T, cfg)
     res.T.block_until_ready()
-    ndt_ms = (time.perf_counter() - t0) / iters * 1000.0
-    log(f"ndt direct7 align: {ndt_ms:.2f} ms (ref 1-thread {REF_MS_DIRECT7_1T} ms)")
+    ndt_pipe_ms = (time.perf_counter() - t0) / 100 * 1000.0
 
-    # NDT DIRECT1 (the reference's fastest published config: 34.6 ms 1-thread,
-    # 17.2 ms 8-thread, `ndt_omp/README.md:29-47`)
+    # DIRECT1 (reference's fastest published config: 34.6 ms 1t / 17.2 ms 8t)
     cfg1 = cfg._replace(neighborhood="direct1")
     r1 = ndt_align_with_map(source, vmap_t, init_T, cfg1)
     r1.T.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    d1_times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
         r1 = ndt_align_with_map(source, vmap_t, init_T, cfg1)
-    r1.T.block_until_ready()
-    log(f"ndt direct1 align: {(time.perf_counter()-t0)/iters*1000:.2f} ms "
-        f"(ref 34.6 ms 1t / 17.2 ms 8t)")
+        r1.T.block_until_ready()
+        d1_times.append((time.perf_counter() - t0) * 1000.0)
+    ndt1_ms = float(np.median(d1_times))
+
+    # voxel-map build (the reference's setInputTarget cost, untimed there)
+    b_times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        vm = build_voxel_map(target, cfg)
+        vm.keys.block_until_ready()
+        b_times.append((time.perf_counter() - t0) * 1000.0)
+    build_ms = float(np.median(b_times))
+
+    # quality numbers — computed on device, FETCHED ONLY AT THE END
+    from gorio_tpu.registration.gicp import fitness_score
+
+    fit_dev, _ = fitness_score(source, target, res.T, max_range=jnp.inf)
+    fit0_dev, _ = fitness_score(source, target, init_T, max_range=jnp.inf)
+    iters_dev, score_dev = res.iterations, res.error
 
     # ---- secondary metrics (stderr only) ---------------------------------
     try:
-        secondary(log)
+        deferred = secondary(log)
     except Exception as e:  # secondary failures must not kill the benchmark
         log(f"secondary benches failed: {e!r}")
+        deferred = []
+
+    # ---- all device->host fetches happen below this line -----------------
+    log(
+        f"ndt converged in {int(iters_dev)} iters, score {float(score_dev):.1f}"
+    )
+    log(
+        f"fitness: {float(fit_dev):.4f} (identity: {float(fit0_dev):.4f}, ref 0.214205)"
+    )
+    log(f"ndt direct7 align (sync): {ndt_ms:.3f} ms (ref 1-thread {REF_MS_DIRECT7_1T} ms, "
+        f"8-thread 63.1 ms)")
+    log(f"ndt direct7 align (pipelined): {ndt_pipe_ms:.3f} ms")
+    log(f"ndt direct1 align (sync): {ndt1_ms:.3f} ms (ref 34.6 ms 1t / 17.2 ms 8t)")
+    log(f"voxel map build (sync): {build_ms:.3f} ms")
+    for line in deferred:
+        log(line() if callable(line) else line)
 
     print(
         json.dumps(
@@ -165,6 +205,8 @@ def main():
 
 
 def secondary(log):
+    """Times everything with zero device->host reads; returns deferred log
+    lines (strings) for main() to print after all timing is done."""
     import jax
     import jax.numpy as jnp
 
@@ -173,7 +215,9 @@ def secondary(log):
     from gorio_tpu.preintegration.ugpm import UGPMConfig, ugpm_fit, ugpm_query
     from gorio_tpu.registration.gicp import GICPConfig, gicp_align
 
+    lines = []
     dtype = jnp.float32
+
     # APDGICP pair align (radar-scale 4096-pt clouds; overlapping views of the
     # same scene, like consecutive scans)
     tgt = random_cloud(jax.random.PRNGKey(0), 4096, capacity=4096, dtype=dtype)
@@ -182,11 +226,13 @@ def secondary(log):
     cfg = GICPConfig()
     r = gicp_align(src, tgt, cfg=cfg)
     r.T.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(5):
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
         r = gicp_align(src, tgt, cfg=cfg)
-    r.T.block_until_ready()
-    log(f"apdgicp 4096-pt align: {(time.perf_counter()-t0)/5*1000:.2f} ms")
+        r.T.block_until_ready()
+        ts.append((time.perf_counter() - t0) * 1000)
+    lines.append(f"apdgicp 4096-pt align (sync): {np.median(ts):.3f} ms")
 
     # ego-velocity throughput (batched scans)
     B = 64
@@ -198,11 +244,11 @@ def secondary(log):
     v = f(clouds, keys)
     v.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(50):
         v = f(clouds, keys)
     v.block_until_ready()
-    per_s = B * 10 / (time.perf_counter() - t0)
-    log(f"ego-velocity: {per_s:.0f} scans/s (batch {B})")
+    per_s = B * 50 / (time.perf_counter() - t0)
+    lines.append(f"ego-velocity: {per_s:.0f} scans/s (batch {B}, pipelined)")
 
     # UGPM batched windows + GP-interp throughput
     W = 64
@@ -219,16 +265,26 @@ def secondary(log):
     )
     st = fit(gyr_t, gyr, vel_t, vel, starts)
     st.alpha.block_until_ready()
-    reps = 10
+    # sync latency
+    t0 = time.perf_counter()
+    st = fit(gyr_t, gyr, vel_t, vel, starts)
+    st.alpha.block_until_ready()
+    ugpm_sync_ms = (time.perf_counter() - t0) * 1000
+    # pipelined distinct batches
+    reps = 20
     batches = [
         jnp.asarray(rng.normal(scale=0.2, size=(W, G, 3)), dtype) for _ in range(reps)
     ]
     jax.block_until_ready(batches)
     t0 = time.perf_counter()
-    for b in batches:  # distinct inputs, pipelined dispatch (throughput mode)
+    for b in batches:
         st = fit(gyr_t, b, vel_t, vel, starts)
     st.alpha.block_until_ready()
-    log(f"ugpm fit: {W*reps/(time.perf_counter()-t0):.0f} windows/s (batch {W}, pipelined)")
+    ugpm_per_s = W * reps / (time.perf_counter() - t0)
+    lines.append(
+        f"ugpm fit: {ugpm_per_s:.0f} windows/s pipelined (batch {W}; sync batch "
+        f"{ugpm_sync_ms:.2f} ms)"
+    )
 
     Q = 256
     queries = jnp.asarray(np.linspace(0.25, 0.75, Q)[None].repeat(W, 0), dtype)
@@ -236,11 +292,13 @@ def secondary(log):
     out = qf(st, starts, queries)
     out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(50):
         out = qf(st, starts, queries)
     out.block_until_ready()
-    log(f"gp-interp: {W*Q*10/(time.perf_counter()-t0):.0f} points/s "
-        f"(reference Se3Integrator::get is ~1k-10k/s single core -> ~10^2-10^3x/chip)")
+    lines.append(
+        f"gp-interp: {W*Q*50/(time.perf_counter()-t0):.0f} points/s "
+        f"(reference Se3Integrator::get is ~1k-10k/s single core)"
+    )
 
     # HMC trajectory-posterior sampling throughput (north-star samples/s)
     from gorio_tpu.inference.hmc import run_hmc
@@ -257,11 +315,11 @@ def secondary(log):
     out = f(keys)
     out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(20):
         out = f(keys)
     out.block_until_ready()
-    sps = CH * 64 * 5 / (time.perf_counter() - t0)
-    log(f"hmc trajectory samples: {sps:.0f} samples/s ({CH} chains, 300-dof)")
+    sps = CH * 64 * 20 / (time.perf_counter() - t0)
+    lines.append(f"hmc trajectory samples: {sps:.0f} samples/s ({CH} chains, 300-dof)")
 
     # batched loop-verification aligns (vmapped GICP over candidate pairs)
     from gorio_tpu.registration.gicp import _gicp_align_jit
@@ -276,10 +334,13 @@ def secondary(log):
     Ts = fb(srcs, tgts)
     Ts.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(20):
         Ts = fb(srcs, tgts)
     Ts.block_until_ready()
-    log(f"batched gicp verify: {B2*5/(time.perf_counter()-t0):.1f} aligns/s (batch {B2})")
+    lines.append(
+        f"batched gicp verify: {B2*20/(time.perf_counter()-t0):.1f} aligns/s (batch {B2})"
+    )
+    return lines
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PointCloud(NamedTuple):
@@ -106,7 +107,10 @@ def distance_filter(cloud: PointCloud, min_dist, max_dist, min_z=-1e30, max_z=1e
 
 
 VOXEL_BITS = 10  # 1024 cells per axis; int32-safe with or without jax x64
-VOXEL_SENTINEL = jnp.int32(2**30)
+# Plain numpy scalar, NOT `jnp.int32(...)`: a module-level device array
+# captured as a jit constant permanently degrades per-dispatch latency on the
+# tunneled TPU backend (every later dispatch ~2.5ms instead of ~35us).
+VOXEL_SENTINEL = np.int32(2**30)
 
 
 def voxel_key(xyz, resolution, origin):

@@ -6,6 +6,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import lie
 
@@ -41,8 +42,10 @@ class PreintMeas(NamedTuple):
 class PreintPrior(NamedTuple):
     """Bias priors subtracted from the raw streams (`types.h:292-298`)."""
 
-    gyr_bias: jax.Array = jnp.zeros(3)
-    vel_bias: jax.Array = jnp.zeros(3)
+    # numpy (not jnp) defaults: module-level device arrays captured as jit
+    # constants permanently degrade dispatch latency on the tunneled backend
+    gyr_bias: jax.Array = np.zeros(3)
+    vel_bias: jax.Array = np.zeros(3)
 
 
 def add_bias_cov(meas: PreintMeas, vel_bias_std=0.3, gyr_bias_std=0.03) -> PreintMeas:

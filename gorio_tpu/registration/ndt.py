@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import lie
 from ..core.pointcloud import PointCloud
@@ -58,7 +59,11 @@ class VoxelGaussianMap(NamedTuple):
 
 
 _BITS = 10  # int32-safe (TPU without x64); 1024 cells/axis
-_SENTINEL = jnp.int32(2**30)
+# Plain Python int, NOT a module-level `jnp.int32(...)`: a device-resident
+# array captured as a jit constant permanently degrades per-dispatch latency
+# on the tunneled TPU backend (~35us -> ~2.5ms for every later dispatch in
+# the process). np.int32 keeps the arithmetic int32 under weak typing.
+_SENTINEL = np.int32(2**30)
 
 
 def _voxel_key_3d(ijk):
