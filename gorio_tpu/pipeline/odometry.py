@@ -19,7 +19,6 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie
 from ..core.pointcloud import PointCloud
 from ..registration.gicp import GICPConfig, gicp_align, prepare_gicp, make_gicp_callbacks
 from ..registration.lsq import lm_optimize
@@ -37,6 +36,10 @@ class OdometryConfig(NamedTuple):
     max_diff_trans: float = 1.0
     max_diff_angle: float = 1.0
     max_egovel_cum: float = 1.0
+    # loose IMU roll/pitch fusion at keyframe acceptance (`:135-138`, `:580`)
+    enable_imu_fusion: bool = False
+    imu_fusion_ratio: float = 0.1
+    scan_period: float = 0.1
     registration: str = "apdgicp"  # "apdgicp" | "gicp" | "ndt"
     gicp: GICPConfig = GICPConfig()
     ndt: NDTConfig = NDTConfig()
@@ -46,6 +49,35 @@ class OdometryConfig(NamedTuple):
     max_submap_frames: int = 5
     submap_resolution: float = 0.25
     submap_capacity: int = 8192
+
+
+def _rot_angle(R) -> float:
+    """Geodesic angle of a rotation matrix (host-side numpy: the per-frame
+    gates must not dispatch to the device — see bench.py's note on the
+    tunneled backend's device->host read penalty)."""
+    return float(np.arccos(np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)))
+
+
+def _r2ypr(R):
+    """ZYX Euler (yaw, pitch, roll) of R; parity `ros_utils.hpp:29-42`."""
+    y = np.arctan2(R[1, 0], R[0, 0])
+    p = np.arctan2(-R[2, 0], R[0, 0] * np.cos(y) + R[1, 0] * np.sin(y))
+    r = np.arctan2(
+        R[0, 2] * np.sin(y) - R[1, 2] * np.cos(y),
+        -R[0, 1] * np.sin(y) + R[1, 1] * np.cos(y),
+    )
+    return y, p, r
+
+
+def _rpy_to_mat(roll, pitch, yaw):
+    """R = Rz(yaw) @ Ry(pitch) @ Rx(roll) (tf createQuaternionFromRPY order)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+    Ry = np.array([[cp, 0, sp], [0, 1.0, 0], [-sp, 0, cp]])
+    Rx = np.array([[1.0, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return Rz @ Ry @ Rx
 
 
 class OdometryStatus(NamedTuple):
@@ -72,6 +104,59 @@ class ScanMatchingOdometry:
     statuses: list = field(default_factory=list)
     # scan-to-map state: (pose, cloud) of the last N keyframes
     _submap_frames: list = field(default_factory=list)
+    # IMU attitude queue [(t, roll, pitch)] + world->map rotation from the
+    # first IMU sample (yaw zeroed), parity `:196-203`
+    _imu_rp: list = field(default_factory=list)
+    _global_orient: Optional[np.ndarray] = None
+
+    def push_imu(self, t: float, quat_wxyz) -> None:
+        """Feed an IMU orientation sample (world frame, [w,x,y,z]); mirrors
+        `imu_callback` storing roll/pitch for `transformUpdate` (`:176-204`)."""
+        w, x, y, z = (float(v) for v in quat_wxyz)
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        _, pitch, roll = _r2ypr(R)
+        if self._global_orient is None:
+            self._global_orient = _rpy_to_mat(roll, pitch, 0.0)
+        self._imu_rp.append((t, roll, pitch))
+        if len(self._imu_rp) > 200:  # imuQueLength
+            del self._imu_rp[: len(self._imu_rp) - 200]
+
+    def _transform_update(self, T: np.ndarray, stamp: float) -> np.ndarray:
+        """Loose IMU roll/pitch fusion; parity `transformUpdate` (`:288-342`):
+        interpolate IMU roll/pitch at stamp+scan_period, rotate into the map
+        frame via the initial-orientation matrix, and blend with the odometry
+        roll/pitch at `imu_fusion_ratio`, keeping the odometry yaw."""
+        if not self._imu_rp or self._global_orient is None:
+            return T
+        t_q = stamp + self.cfg.scan_period
+        ts = [s[0] for s in self._imu_rp]
+        i = int(np.searchsorted(ts, t_q))
+        if i >= len(ts):
+            roll_i, pitch_i = self._imu_rp[-1][1], self._imu_rp[-1][2]
+        elif i == 0:
+            roll_i, pitch_i = self._imu_rp[0][1], self._imu_rp[0][2]
+        else:
+            t0, r0, p0 = self._imu_rp[i - 1]
+            t1, r1, p1 = self._imu_rp[i]
+            a = (t_q - t0) / max(t1 - t0, 1e-9)
+            roll_i = (1 - a) * r0 + a * r1
+            pitch_i = (1 - a) * p0 + a * p1
+        yaw_o, pitch_o, roll_o = _r2ypr(T[:3, :3])
+        imu_rot = _rpy_to_mat(roll_i, pitch_i, yaw_o)
+        _, pitch_t, roll_t = _r2ypr(self._global_orient.T @ imu_rot)
+        k = self.cfg.imu_fusion_ratio
+        fused = _rpy_to_mat(
+            (1 - k) * roll_o + k * roll_t, (1 - k) * pitch_o + k * pitch_t, yaw_o
+        )
+        out = T.copy()
+        out[:3, :3] = fused
+        return out
 
     def _rebuild_submap(self):
         """Merge the last-N keyframe clouds into the current keyframe frame
@@ -128,13 +213,11 @@ class ScanMatchingOdometry:
         # sanity thresholding vs the ego-velocity prediction (`:497-570`)
         delta = np.linalg.inv(self.prev_trans_s2s) @ T
         dx = float(np.linalg.norm(delta[:3, 3]))
-        da = float(
-            lie.rotation_geodesic_angle(jnp.asarray(delta[:3, :3]), jnp.eye(3))
-        )
+        da = _rot_angle(delta[:3, :3])
         pred = self.prev_trans_s2s @ self.egovel_cum
         diff = np.linalg.inv(pred) @ T
         ddx = float(np.linalg.norm(diff[:3, 3]))
-        dda = float(lie.rotation_geodesic_angle(jnp.asarray(diff[:3, :3]), jnp.eye(3)))
+        dda = _rot_angle(diff[:3, :3])
         used_prediction = False
         if (
             not bool(res.converged)
@@ -162,13 +245,16 @@ class ScanMatchingOdometry:
 
         # keyframe refresh (`:578-600`)
         ddx_kf = float(np.linalg.norm(T[:3, 3]))
-        dda_kf = float(lie.rotation_geodesic_angle(jnp.asarray(T[:3, :3]), jnp.eye(3)))
+        dda_kf = _rot_angle(T[:3, :3])
         ddt_kf = stamp - self.keyframe_stamp
         if (
             ddx_kf > self.cfg.keyframe_delta_trans
             or dda_kf > self.cfg.keyframe_delta_angle
             or ddt_kf > self.cfg.keyframe_delta_time
         ):
+            # loose IMU roll/pitch fusion on keyframe acceptance (`:580-584`)
+            if self.cfg.enable_imu_fusion:
+                self.odom = self._transform_update(self.odom, stamp)
             self.keyframe_pose = self.odom.copy()
             self.keyframe_stamp = stamp
             self.prev_trans_s2s = np.eye(4)

@@ -27,6 +27,12 @@ class PreprocessConfig(NamedTuple):
     max_distance: float = 100.0
     min_z: float = -40.0
     max_z: float = 100.0
+    # statistical/radius outlier removal (`:153-172`, applied `:626`)
+    outlier_method: str = "none"  # "statistical" | "radius" | "none"
+    statistical_mean_k: int = 20
+    statistical_stddev: float = 1.0
+    radius_radius: float = 2.0
+    radius_min_neighbors: int = 2
     enable_dynamic_object_removal: bool = True  # keep ego-vel inliers (`:464-478`)
     enable_deskew: bool = True
     enable_ground_seg: bool = True
@@ -55,9 +61,17 @@ def preprocess_frame(
     (for deskew); `key` seeds the ego-velocity RANSAC."""
     from ..estimators.groundseg import update_agle
 
-    # power + distance gates (`:381-412`, `:639`)
+    # power + distance gates (`:381-412`, `:639`), then outlier removal (`:626`)
     cloud = filter_cloud(cloud, cloud.intensity > cfg.power_threshold)
     cloud = distance_filter(cloud, cfg.min_distance, cfg.max_distance, cfg.min_z, cfg.max_z)
+    if cfg.outlier_method == "statistical":
+        from ..estimators.outliers import statistical_outlier_removal
+
+        cloud = statistical_outlier_removal(cloud, cfg.statistical_mean_k, cfg.statistical_stddev)
+    elif cfg.outlier_method == "radius":
+        from ..estimators.outliers import radius_outlier_removal
+
+        cloud = radius_outlier_removal(cloud, cfg.radius_radius, cfg.radius_min_neighbors)
 
     ego = estimate_ego_velocity(cloud, cfg.egovel, key=key)
     if cfg.enable_dynamic_object_removal:

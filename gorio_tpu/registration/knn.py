@@ -63,3 +63,24 @@ def knn(query, ref, k: int, ref_mask=None, block: int = 512):
 
     idx, d2 = jax.lax.map(one_block, q.reshape(-1, block, 3))
     return idx.reshape(-1, k)[:n], d2.reshape(-1, k)[:n]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def radius_count(query, ref, radius, ref_mask=None, block: int = 1024):
+    """Number of valid refs within `radius` of each query (self included when
+    query is in ref). Exact; replaces kd-tree radiusSearch for
+    `pcl::RadiusOutlierRemoval` semantics."""
+    n = query.shape[0]
+    pad = (-n) % block
+    q = jnp.concatenate([query, jnp.zeros((pad, 3), query.dtype)], axis=0)
+    bias = jnp.zeros((ref.shape[0],), query.dtype)
+    if ref_mask is not None:
+        bias = jnp.where(ref_mask, 0.0, _BIG)
+    r2 = jnp.asarray(radius, query.dtype) ** 2
+
+    def one_block(q_blk):
+        d2 = _block_dists(q_blk, ref, bias)
+        return jnp.sum((d2 <= r2).astype(jnp.int32), axis=-1)
+
+    cnt = jax.lax.map(one_block, q.reshape(-1, block, 3))
+    return cnt.reshape(-1)[:n]
