@@ -165,7 +165,13 @@ class PoseGraph:
         """Write VERTEX_SE3:QUAT / EDGE_SE3:QUAT lines; parity with
         `GraphSLAM::save` (`graph_slam.cpp:384-391`). Note g2o orders the
         6-dof error as [trans, rot]; we store our [rot, trans] info in that
-        order when serializing for compatibility."""
+        order when serializing for compatibility.
+
+        SE3 priors get framework-specific `GORIO_PRIOR_SE3` lines (g2o's own
+        EDGE_SE3_PRIOR needs a parameter-offset vertex we don't model), and
+        robust kernels go to a `<path>.kernels` sidecar, mirroring
+        `save_robust_kernels` (`robust_kernel_io.cpp:45-80`): one
+        `EDGE_SE3:QUAT <ordinal> Huber <delta>` line per robustified edge."""
         with open(path, "w") as fh:
             ps = poses if poses is not None else self.poses
             for k, T in enumerate(np.asarray(ps)):
@@ -174,7 +180,8 @@ class PoseGraph:
                 fh.write(
                     f"VERTEX_SE3:QUAT {k} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}\n"
                 )
-            for (i, j, T, sq, rd) in self._between:
+            kernels = []
+            for ordinal, (i, j, T, sq, rd) in enumerate(self._between):
                 q = np.asarray(lie.mat_to_quat(jnp.asarray(T[:3, :3])))
                 t = T[:3, 3]
                 info = sq.T @ sq
@@ -188,11 +195,46 @@ class PoseGraph:
                     f"EDGE_SE3:QUAT {i} {j} {t[0]} {t[1]} {t[2]} "
                     f"{q[1]} {q[2]} {q[3]} {q[0]} " + " ".join(map(str, upper)) + "\n"
                 )
+                if math.isfinite(rd):
+                    kernels.append(("EDGE_SE3:QUAT", ordinal, rd))
+            for ordinal, (i, T, sq, rd) in enumerate(self._priors):
+                q = np.asarray(lie.mat_to_quat(jnp.asarray(T[:3, :3])))
+                t = T[:3, 3]
+                info = sq.T @ sq
+                P = np.zeros((6, 6))
+                P[:3, 3:] = np.eye(3)
+                P[3:, :3] = np.eye(3)
+                info_g = P @ info @ P.T
+                upper = [info_g[r, c] for r in range(6) for c in range(r, 6)]
+                fh.write(
+                    f"GORIO_PRIOR_SE3 {i} {t[0]} {t[1]} {t[2]} "
+                    f"{q[1]} {q[2]} {q[3]} {q[0]} " + " ".join(map(str, upper)) + "\n"
+                )
+                if math.isfinite(rd):
+                    kernels.append(("GORIO_PRIOR_SE3", ordinal, rd))
+        if kernels:
+            with open(str(path) + ".kernels", "w") as kf:
+                for tag, ordinal, delta in kernels:
+                    kf.write(f"{tag} {ordinal} Huber {delta}\n")
 
     @classmethod
     def load(cls, path, dtype=np.float64):
+        """Restore poses + between edges + SE3 priors, re-applying robust
+        kernels from the `<path>.kernels` sidecar (parity:
+        `load_robust_kernels`, `robust_kernel_io.cpp:84-128`)."""
+        import os
+
         g = cls(dtype=dtype)
         verts = {}
+        kernels = {}
+        if os.path.exists(str(path) + ".kernels"):
+            with open(str(path) + ".kernels") as kf:
+                for line in kf:
+                    tok = line.split()
+                    if len(tok) == 4:
+                        kernels[(tok[0], int(tok[1]))] = float(tok[3])
+        n_between = 0
+        n_prior = 0
         with open(path) as fh:
             for line in fh:
                 tok = line.split()
@@ -226,7 +268,31 @@ class PoseGraph:
                     P[:3, 3:] = np.eye(3)
                     P[3:, :3] = np.eye(3)
                     info = P.T @ info_g @ P
-                    g._between.append((i, j, T, _sqrt_info(info, 6, dtype), math.inf))
+                    rd = kernels.get(("EDGE_SE3:QUAT", n_between), math.inf)
+                    g._between.append((i, j, T, _sqrt_info(info, 6, dtype), rd))
+                    n_between += 1
+                elif tok[0] == "GORIO_PRIOR_SE3":
+                    i = int(tok[1])
+                    t = np.array(list(map(float, tok[2:5])))
+                    qx, qy, qz, qw = map(float, tok[5:9])
+                    R = np.asarray(lie.quat_to_mat(jnp.asarray([qw, qx, qy, qz])))
+                    T = np.eye(4)
+                    T[:3, :3] = R
+                    T[:3, 3] = t
+                    upper = list(map(float, tok[9:30]))
+                    info_g = np.zeros((6, 6))
+                    n = 0
+                    for r in range(6):
+                        for c in range(r, 6):
+                            info_g[r, c] = info_g[c, r] = upper[n]
+                            n += 1
+                    P = np.zeros((6, 6))
+                    P[:3, 3:] = np.eye(3)
+                    P[3:, :3] = np.eye(3)
+                    info = P.T @ info_g @ P
+                    rd = kernels.get(("GORIO_PRIOR_SE3", n_prior), math.inf)
+                    g._priors.append((i, T, _sqrt_info(info, 6, dtype), rd))
+                    n_prior += 1
         for k in sorted(verts):
             g.poses.append(verts[k])
         return g

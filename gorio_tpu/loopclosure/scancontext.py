@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.pointcloud import PointCloud
 
@@ -152,3 +153,35 @@ def detect_loop(db: ScanContextDB, query_desc, cfg: ScanContextConfig = ScanCont
     signed_shift = jnp.where(shift > half, shift - cfg.num_sector, shift)
     yaw = jnp.deg2rad(signed_shift.astype(query_desc.dtype) * sector_angle)
     return match, yaw, dists[best]
+
+
+# ---- observability: descriptor images (parity: makeSCImage/getColorImage +
+# ---- the pair publish in loop_detector.cpp:301-312) ------------------------
+
+
+def sc_image(desc, upscale: int = 8) -> np.ndarray:
+    """uint8 grayscale image of one descriptor (rings x sectors), intensity
+    normalized to 0-255 and nearest-neighbor upscaled for visibility."""
+    d = np.asarray(desc, dtype=np.float64)
+    rng = d.max() - d.min()
+    img = np.zeros_like(d) if rng <= 0 else (d - d.min()) / rng
+    img = (img * 255.0).astype(np.uint8)
+    return np.kron(img, np.ones((upscale, upscale), np.uint8))
+
+
+def sc_pair_image(desc_cur, desc_prev, upscale: int = 8) -> np.ndarray:
+    """The two matched descriptors stacked with a separator row — the
+    framework's counterpart of the cur/prev Scan-Context images the reference
+    publishes on a loop acceptance."""
+    a = sc_image(desc_cur, upscale)
+    b = sc_image(desc_prev, upscale)
+    sep = np.full((2, a.shape[1]), 255, np.uint8)
+    return np.concatenate([a, sep, b], axis=0)
+
+
+def save_pgm(path, img: np.ndarray) -> None:
+    """Dependency-free binary PGM writer for the images above."""
+    img = np.asarray(img, np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        fh.write(img.tobytes())

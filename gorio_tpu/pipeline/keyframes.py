@@ -27,6 +27,9 @@ class KeyFrame:
     cloud: PointCloud
     odom_scan2map: Optional[np.ndarray] = None
     utm_coord: Optional[np.ndarray] = None
+    floor_coeffs: Optional[np.ndarray] = None  # (4,) plane, `keyframe.cpp:38-40`
+    acceleration: Optional[np.ndarray] = None  # (3,), `keyframe.cpp:46-48`
+    orientation: Optional[np.ndarray] = None  # (4,) quat wxyz, `keyframe.cpp:50-52`
     trans_integrated: Optional[np.ndarray] = None  # GP-preintegrated delta
     preint_cov: Optional[np.ndarray] = None
     optimized_pose: Optional[np.ndarray] = None  # filled after graph solve
@@ -45,8 +48,14 @@ class KeyFrame:
             for row in np.asarray(self.odom_scan2scan):
                 fh.write(" ".join(map(str, row)) + "\n")
             fh.write(f"accum_distance {self.accum_distance}\n")
+            if self.floor_coeffs is not None:
+                fh.write("floor_coeffs " + " ".join(map(str, self.floor_coeffs)) + "\n")
             if self.utm_coord is not None:
                 fh.write("utm_coord " + " ".join(map(str, self.utm_coord)) + "\n")
+            if self.acceleration is not None:
+                fh.write("acceleration " + " ".join(map(str, self.acceleration)) + "\n")
+            if self.orientation is not None:
+                fh.write("orientation " + " ".join(map(str, self.orientation)) + "\n")
             fh.write(f"id {self.index}\n")
         np.savez_compressed(
             os.path.join(directory, "cloud.npz"),
@@ -61,6 +70,7 @@ class KeyFrame:
     def load(cls, directory: str) -> "KeyFrame":
         """Parity: `KeyFrame::load` (`keyframe.cpp:61-146`)."""
         stamp, est, odom, accum, idx, utm = 0.0, np.eye(4), np.eye(4), 0.0, 0, None
+        floor, acc, orient = None, None, None
         with open(os.path.join(directory, "data")) as fh:
             lines = fh.read().splitlines()
         i = 0
@@ -78,6 +88,12 @@ class KeyFrame:
                 accum = float(tok[1])
             elif tok[0] == "utm_coord":
                 utm = np.array([float(v) for v in tok[1:]])
+            elif tok[0] == "floor_coeffs":
+                floor = np.array([float(v) for v in tok[1:]])
+            elif tok[0] == "acceleration":
+                acc = np.array([float(v) for v in tok[1:]])
+            elif tok[0] == "orientation":
+                orient = np.array([float(v) for v in tok[1:]])
             elif tok[0] == "id":
                 idx = int(tok[1])
             i += 1
@@ -89,6 +105,9 @@ class KeyFrame:
         kf = cls(index=idx, stamp=stamp, odom_scan2scan=odom, accum_distance=accum, cloud=cloud)
         kf.optimized_pose = est
         kf.utm_coord = utm
+        kf.floor_coeffs = floor
+        kf.acceleration = acc
+        kf.orientation = orient
         return kf
 
 

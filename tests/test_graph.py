@@ -179,6 +179,41 @@ def test_save_load_roundtrip(tmp_path):
         np.testing.assert_allclose(ea[3].T @ ea[3], eb[3].T @ eb[3], atol=1e-9)  # info
 
 
+def test_save_load_robust_kernels_and_priors(tmp_path):
+    """Robust-kernel sidecar + GORIO_PRIOR_SE3 round trip (parity:
+    `robust_kernel_io.cpp` save/load)."""
+    import math
+
+    rng = np.random.default_rng(6)
+    n = 5
+    truth = _chain_truth(n, rng)
+    g = PoseGraph()
+    for T in truth:
+        g.add_pose(T)
+    for k in range(1, n):
+        delta = 0.5 if k == 2 else math.inf  # one robustified loop-like edge
+        g.add_between(
+            k - 1, k, _rel(truth[k - 1], truth[k]), info=np.eye(6) * 3.0, robust_delta=delta
+        )
+    g.add_prior(0, truth[0], info=np.diag([9.0, 9, 9, 4, 4, 4]), robust_delta=1.5)
+    path = tmp_path / "graph.g2o"
+    g.save(path)
+    assert (tmp_path / "graph.g2o.kernels").exists()
+    g2 = PoseGraph.load(path)
+    assert [e[4] for e in g2._between] == [e[4] for e in g._between]
+    assert len(g2._priors) == 1
+    i, T, sq, rd = g2._priors[0]
+    assert i == 0 and rd == 1.5
+    np.testing.assert_allclose(T, truth[0], atol=1e-9)
+    np.testing.assert_allclose(sq.T @ sq, np.diag([9.0, 9, 9, 4, 4, 4]), atol=1e-9)
+    # optimizing the reloaded graph reproduces the original solve
+    p0, gd = g.freeze()
+    p1, gd2 = g2.freeze()
+    r0 = optimize_graph(p0, gd)
+    r1 = optimize_graph(p1, gd2)
+    np.testing.assert_allclose(np.asarray(r0.poses), np.asarray(r1.poses), atol=1e-8)
+
+
 def test_vec_and_plane_factors():
     """Gravity direction + ground-plane factors constrain roll/pitch/z."""
     rng = np.random.default_rng(7)

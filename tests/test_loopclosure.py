@@ -98,3 +98,21 @@ def test_constant_information():
     info, _ = calc_information_matrix(cloud, cloud, jnp.eye(4), cfg)
     np.testing.assert_allclose(np.asarray(info[3:, 3:]), np.eye(3) / 0.25, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(info[:3, :3]), np.eye(3) / 0.01, rtol=1e-9)
+
+
+def test_sc_pair_image(tmp_path):
+    """Descriptor image export (parity: SC pair publish on loop accept)."""
+    import numpy as np
+
+    from gorio_tpu.loopclosure.scancontext import save_pgm, sc_pair_image
+
+    d1 = np.random.default_rng(0).random((40, 20))
+    d2 = np.random.default_rng(1).random((40, 20))
+    img = sc_pair_image(d1, d2, upscale=2)
+    assert img.dtype == np.uint8
+    assert img.shape == (40 * 2 * 2 + 2, 20 * 2)
+    path = tmp_path / "pair.pgm"
+    save_pgm(path, img)
+    raw = path.read_bytes()
+    assert raw.startswith(b"P5\n40 162\n255\n")
+    assert len(raw) == len(b"P5\n40 162\n255\n") + img.size
