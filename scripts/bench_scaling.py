@@ -1,0 +1,136 @@
+"""Weak-scaling benchmark over a virtual device mesh.
+
+BASELINE.md asks for measurements at 1 chip / 1 host / N>=2 hosts. Real
+multi-chip hardware is not reachable from this container, so this script
+measures the *sharded programs themselves* — the same `shard_map`/`pjit`
+code that runs on a pod slice — on N in {1, 2, 4, 8} forced-host CPU
+devices, holding per-device work constant (weak scaling). On real ICI the
+collectives are faster relative to compute than on this shared-memory fake,
+so the efficiencies below are conservative lower bounds for TPU.
+
+Run:
+  PYTHONPATH= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/bench_scaling.py
+
+Prints one JSON line per (workload, n_devices).
+"""
+
+import json
+import os
+import sys
+import time
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+
+
+def bench(fn, *args, reps=20):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        devs = jax.devices("cpu")
+    print(f"# devices: {len(devs)} x {devs[0].platform}", file=sys.stderr)
+
+    from gorio_tpu.inference.smc import sharded_smc_step
+    from gorio_tpu.preintegration.ugpm import UGPMConfig, ugpm_fit
+
+    results = []
+    for n in (1, 2, 4, 8):
+        if n > len(devs):
+            break
+        mesh = Mesh(np.asarray(devs[:n]), ("dp",))
+        dp = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+
+        # --- workload 1: SMC particle sweep, 4096 particles/device ---------
+        PPD, D = 4096, 60
+        NP = PPD * n
+        rng = np.random.default_rng(0)
+        particles = jax.device_put(
+            jnp.asarray(rng.normal(size=(NP, D)), jnp.float32), dp
+        )
+        logw = jax.device_put(jnp.zeros((NP,), jnp.float32), dp)
+        key = jax.device_put(jax.random.PRNGKey(0), repl)
+        std = jax.device_put(jnp.asarray(0.1, jnp.float32), repl)
+
+        def lp(x):
+            return -0.5 * jnp.sum(x * x)
+
+        step = jax.jit(sharded_smc_step(mesh, lp))
+        dt = bench(lambda: step(key, particles, logw, std))
+        results.append(
+            {
+                "workload": "smc_step",
+                "n_devices": n,
+                "particles": NP,
+                "steps_per_s": round(1.0 / dt, 2),
+                "particle_steps_per_s": round(NP / dt, 0),
+            }
+        )
+
+        # --- workload 2: batched UGPM window fits, 16 windows/device -------
+        W = 16 * n
+        G, V = 128, 32
+        gyr_t = jnp.asarray(np.linspace(0, 1.0, G)[None].repeat(W, 0), jnp.float32)
+        vel_t = jnp.asarray(np.linspace(0, 1.0, V)[None].repeat(W, 0), jnp.float32)
+        gyr = jnp.asarray(rng.normal(scale=0.2, size=(W, G, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(scale=1.0, size=(W, V, 3)), jnp.float32)
+        starts = jnp.full((W,), 0.2, jnp.float32)
+        args = tuple(jax.device_put(x, dp) for x in (gyr_t, gyr, vel_t, vel, starts))
+        ucfg = UGPMConfig(window_duration=0.6, lm_iters=10)
+        fit = jax.jit(
+            jax.vmap(lambda a, b, c, d, s: ugpm_fit(a, b, c, d, s, 1e-4, 1e-3, ucfg)),
+            in_shardings=(dp,) * 5,
+        )
+        dt = bench(lambda: fit(*args).alpha)
+        results.append(
+            {
+                "workload": "ugpm_fit",
+                "n_devices": n,
+                "windows": W,
+                "windows_per_s": round(W / dt, 0),
+            }
+        )
+
+    cores = os.cpu_count() or 1
+    print(
+        f"# note: fake devices share {cores} host core(s); ideal weak-scaling "
+        f"efficiency on this host is min(1, cores/n_devices), not 1.0 — the "
+        f"point of this run is that the sharded programs compile, execute, "
+        f"and keep total throughput as devices multiply",
+        file=sys.stderr,
+    )
+    base = {}
+    for r in results:
+        k = r["workload"]
+        per_dev = (
+            r.get("particle_steps_per_s") or r.get("windows_per_s")
+        ) / r["n_devices"]
+        if r["n_devices"] == 1:
+            base[k] = per_dev
+        r["weak_scaling_efficiency"] = round(per_dev / base[k], 3)
+        r["host_ideal_efficiency"] = round(min(1.0, cores / r["n_devices"]), 3)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
