@@ -13,7 +13,7 @@ from __future__ import annotations
 from .gicp import GICPConfig, gicp_align  # noqa: F401
 from .knn import knn, nn1  # noqa: F401
 from .lsq import LMConfig, LMResult, gn_optimize, lm_optimize  # noqa: F401
-from .ndt import NDTConfig, ndt_align  # noqa: F401
+from .ndt import NDTConfig, ndt_align, ndt_d2d_align  # noqa: F401
 from .vgicp import VGICPConfig, vgicp_align  # noqa: F401
 
 _METHODS = {
@@ -27,7 +27,8 @@ _METHODS = {
     # GICP with PLANE regularization strictly dominates it on TPU
     "NDT": ("ndt", None),
     "NDT_OMP": ("ndt", None),
-    "NDT_CUDA": ("ndt", None),
+    "NDT_CUDA": ("ndt", None),  # P2D mode (`NDTDistanceMode::P2D`)
+    "NDT_CUDA_D2D": ("ndt_d2d", None),  # D2D mode (`ndt_compute_derivatives.cu`)
 }
 
 
@@ -42,4 +43,6 @@ def select_registration(method: str = "FAST_APDGICP", **overrides):
         cfg = VGICPConfig(**overrides)
         return lambda s, t, init_T=None: vgicp_align(s, t, init_T=init_T, cfg=cfg)
     cfg = NDTConfig(**overrides)
+    if kind == "ndt_d2d":
+        return lambda s, t, init_T=None: ndt_d2d_align(s, t, init_T=init_T, cfg=cfg)
     return lambda s, t, init_T=None: ndt_align(s, t, init_T=init_T, cfg=cfg)

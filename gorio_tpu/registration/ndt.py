@@ -370,3 +370,132 @@ def ndt_align(
         init_T = jnp.eye(4, dtype=source.xyz.dtype)
     vmap_t = build_voxel_map(target, cfg)
     return ndt_align_with_map(source, vmap_t, init_T, cfg)
+
+
+# ---- D2D NDT (distribution-to-distribution) --------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ndt_d2d_align_with_maps(
+    vmap_s: VoxelGaussianMap,
+    vmap_t: VoxelGaussianMap,
+    init_T,
+    cfg: NDTConfig = NDTConfig(),
+) -> LMResult:
+    """Distribution-to-distribution NDT: align the source voxel Gaussians to
+    the target voxel Gaussians.
+
+    Parity: `NDTCuda` in D2D mode (`fast_apdgicp/src/fast_gicp/cuda/
+    ndt_compute_derivatives.cu`, SURVEY.md §2 #21): each matched voxel pair
+    contributes exp score on x = T(mu_a) - mu_b under the combined covariance
+    (C_b + R C_a R^T)^-1. Gauss-Newton flavor: the Mahalanobis matrix is
+    frozen at the current T inside each linearization (like the GICP family),
+    and the candidate-step line search absorbs the dropped curvature terms."""
+    dtype = vmap_s.means.dtype
+    d1, d2 = _gauss_coeffs(cfg, dtype)
+    from ..core.linalg import inv3
+
+    means_a = vmap_s.means
+    cov_a = inv3(vmap_s.inv_covs + 1e-12 * jnp.eye(3, dtype=dtype))
+    mask_a = vmap_s.valid
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
+
+    def correspondences(T):
+        moved = means_a @ T[:3, :3].T + T[:3, 3]
+        ijk = _point_ijk(moved, cfg.resolution, vmap_t.origin)
+        idx, found = _table_lookup(
+            vmap_t.keys, vmap_t.table, vmap_t.table_dims, cfg.table_size,
+            ijk[:, None, :] + offsets[None, :, :],
+        )
+        found = found & vmap_t.valid[idx] & mask_a[:, None]
+        mu_b = vmap_t.means[idx]  # (V, O, 3)
+        cov_b = inv3(vmap_t.inv_covs[idx] + 1e-12 * jnp.eye(3, dtype=dtype))
+        R = T[:3, :3]
+        comb = cov_b + (R @ cov_a @ R.T)[:, None, :, :]
+        M = inv3(comb + 1e-9 * jnp.eye(3, dtype=dtype))
+        return found, mu_b, M
+
+    def score_at(found, mu_b, M, T):
+        moved = means_a @ T[:3, :3].T + T[:3, 3]
+        x = moved[:, None, :] - mu_b
+        md2 = jnp.einsum("voi,voij,voj->vo", x, M, x)
+        return jnp.sum(jnp.where(found, d1 * jnp.exp(-0.5 * d2 * md2), 0.0))
+
+    def derivatives(found, mu_b, M, T):
+        moved = means_a @ T[:3, :3].T + T[:3, 3]
+        x = moved[:, None, :] - mu_b
+        Mx = jnp.einsum("voij,voj->voi", M, x)
+        md2 = jnp.einsum("voi,voi->vo", x, Mx)
+        e = jnp.exp(-0.5 * d2 * md2)
+        coef = jnp.where(found, -d2 * d1 * e, 0.0)
+        hm = lie.hat(moved)  # (V, 3, 3)
+        u_rot = jnp.einsum("vij,voj->voi", hm, Mx)
+        u = jnp.concatenate([u_rot, Mx], axis=-1)
+        g = jnp.einsum("vo,voi->i", coef, u)
+        MhmT = jnp.einsum("voij,vkj->voik", M, hm)
+        rr = jnp.einsum("vij,vojk->voik", hm, MhmT)
+        rt = jnp.einsum("vij,vojk->voik", hm, M)
+        JTJ = jnp.concatenate(
+            [
+                jnp.concatenate([rr, rt], axis=-1),
+                jnp.concatenate([jnp.swapaxes(rt, -1, -2), M], axis=-1),
+            ],
+            axis=-2,
+        )
+        # PSD Gauss-Newton Hessian only (coef > 0): the -d2 u u^T curvature
+        # term makes H indefinite at the voxel-pair counts of D2D and sends
+        # the Newton step uphill; GN keeps a guaranteed descent direction
+        H = jnp.einsum("vo,voij->ij", coef, JTJ)
+        return g, H
+
+    # wide log fan: D2D's exponential score has a narrow basin (voxel-scale),
+    # so candidate steps span 3 decades for both the GN and gradient rays
+    alphas = jnp.asarray([1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.001], dtype)
+
+    def body(state):
+        T, it, done, last = state
+        found, mu_b, M, = correspondences(T)
+        g, H = derivatives(found, mu_b, M, T)
+        lam = 1e-4 * jnp.maximum(jnp.max(jnp.abs(jnp.diag(H))), 1.0)
+        d = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=dtype), g)
+        dn = jnp.linalg.norm(d)
+        d = jnp.where(dn > 1.0, d / jnp.maximum(dn, 1e-12), d)
+        # gradient-descent fallback candidates guard against an indefinite H
+        # (the exponential score is nonconvex), like the P2D search above
+        g_dir = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+        cand = jnp.concatenate(
+            [alphas[:, None] * d[None, :], alphas[:, None] * g_dir[None, :]]
+        )
+        score_now = score_at(found, mu_b, M, T)
+        scores = jax.vmap(lambda dd: score_at(found, mu_b, M, lie.se3_exp_split(dd) @ T))(cand)
+        best = jnp.argmin(scores)
+        improved = scores[best] < score_now
+        step = jnp.where(improved, cand[best], jnp.zeros(6, dtype))
+        T_new = jnp.where(improved, lie.se3_exp_split(cand[best]) @ T, T)
+        done_new = (~improved) | (jnp.linalg.norm(step) < cfg.transformation_epsilon)
+        return T_new, it + 1, done_new, jnp.where(improved, scores[best], last)
+
+    def cond(state):
+        _, it, done, _ = state
+        return (it < cfg.max_iterations) & (~done)
+
+    f0, m0, M0 = correspondences(init_T)
+    init_score = score_at(f0, m0, M0, init_T)
+    T, iters, _, final_score = jax.lax.while_loop(cond, body, (init_T, 0, False, init_score))
+    found, mu_b, M = correspondences(T)
+    _, H = derivatives(found, mu_b, M, T)
+    return LMResult(T=T, H=H, error=final_score, converged=jnp.array(True), iterations=iters)
+
+
+def ndt_d2d_align(
+    source: PointCloud,
+    target: PointCloud,
+    init_T=None,
+    cfg: NDTConfig = NDTConfig(),
+) -> LMResult:
+    """Voxelize both clouds, then D2D-align their Gaussians."""
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=source.xyz.dtype)
+    return ndt_d2d_align_with_maps(
+        build_voxel_map(source, cfg), build_voxel_map(target, cfg), init_T, cfg
+    )

