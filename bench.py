@@ -300,18 +300,38 @@ def secondary(log):
         f"(reference Se3Integrator::get is ~1k-10k/s single core)"
     )
 
-    # HMC trajectory-posterior sampling throughput (north-star samples/s)
+    # HMC trajectory-posterior sampling throughput (north-star samples/s):
+    # the log-density is a REAL 50-keyframe pose-graph posterior (49 between
+    # factors + anchor prior, full residual + Huber evaluation per leapfrog
+    # step), not a toy quadratic.
+    from gorio_tpu.graph.graph import PoseGraph
     from gorio_tpu.inference.hmc import run_hmc
+    from gorio_tpu.inference.laplace import graph_logprob
 
-    D = 50 * 6  # 50-keyframe trajectory
-
-    def lp(x):
-        return -0.5 * jnp.sum(x * x)
+    K = 50
+    g = PoseGraph(dtype=np.float32)
+    rng2 = np.random.default_rng(11)
+    Ts = [np.eye(4)]
+    for _ in range(K - 1):
+        d = np.eye(4)
+        d[:3, 3] = [1.0, 0.02, 0.0] + rng2.normal(scale=0.01, size=3)
+        Ts.append(Ts[-1] @ d)
+    for T in Ts:
+        g.add_pose(T)
+    for k in range(1, K):
+        g.add_between(k - 1, k, np.linalg.inv(Ts[k - 1]) @ Ts[k], info=np.eye(6) * 25.0)
+    g.add_prior(0, Ts[0], info=np.eye(6) * 1e4)
+    # as_numpy: the logprob closure must capture HOST arrays — jit constants
+    # that are device arrays trigger the dispatch-latency degradation this
+    # file's docstring describes
+    poses0, gdata = g.freeze(as_numpy=True)
+    lp = graph_logprob(poses0, gdata)
+    D = K * 6
 
     CH = 16
     keys = jax.random.split(jax.random.PRNGKey(7), CH)
     f = jax.jit(jax.vmap(lambda k: run_hmc(k, lp, jnp.zeros(D, dtype), n_samples=64,
-                                           step_size=0.5, n_leapfrog=16)[0]))
+                                           step_size=0.02, n_leapfrog=16)[0]))
     out = f(keys)
     out.block_until_ready()
     t0 = time.perf_counter()
@@ -319,7 +339,10 @@ def secondary(log):
         out = f(keys)
     out.block_until_ready()
     sps = CH * 64 * 20 / (time.perf_counter() - t0)
-    lines.append(f"hmc trajectory samples: {sps:.0f} samples/s ({CH} chains, 300-dof)")
+    lines.append(
+        f"hmc trajectory samples: {sps:.0f} samples/s "
+        f"({CH} chains, {K}-keyframe pose-graph posterior, {D}-dof)"
+    )
 
     # batched loop-verification aligns (vmapped GICP over candidate pairs)
     from gorio_tpu.registration.gicp import _gicp_align_jit

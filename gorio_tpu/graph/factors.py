@@ -158,68 +158,70 @@ def huber_weight(chi2, delta):
     return jnp.where(jnp.isinf(delta), 1.0, w)
 
 
-def _empty_between(capacity, dtype):
+def _empty_between(capacity, dtype, xp=jnp):
     return BetweenFactors(
-        i=jnp.zeros((capacity,), jnp.int32),
-        j=jnp.zeros((capacity,), jnp.int32),
-        T_meas=jnp.tile(jnp.eye(4, dtype=dtype), (capacity, 1, 1)),
-        sqrt_info=jnp.tile(jnp.eye(6, dtype=dtype), (capacity, 1, 1)),
-        mask=jnp.zeros((capacity,), bool),
-        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+        i=xp.zeros((capacity,), xp.int32),
+        j=xp.zeros((capacity,), xp.int32),
+        T_meas=xp.tile(xp.eye(4, dtype=dtype), (capacity, 1, 1)),
+        sqrt_info=xp.tile(xp.eye(6, dtype=dtype), (capacity, 1, 1)),
+        mask=xp.zeros((capacity,), bool),
+        robust_delta=xp.full((capacity,), xp.inf, dtype),
     )
 
 
-def _empty_priors(capacity, dtype):
+def _empty_priors(capacity, dtype, xp=jnp):
     return PriorFactors(
-        i=jnp.zeros((capacity,), jnp.int32),
-        T_meas=jnp.tile(jnp.eye(4, dtype=dtype), (capacity, 1, 1)),
-        sqrt_info=jnp.tile(jnp.eye(6, dtype=dtype), (capacity, 1, 1)),
-        mask=jnp.zeros((capacity,), bool),
-        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+        i=xp.zeros((capacity,), xp.int32),
+        T_meas=xp.tile(xp.eye(4, dtype=dtype), (capacity, 1, 1)),
+        sqrt_info=xp.tile(xp.eye(6, dtype=dtype), (capacity, 1, 1)),
+        mask=xp.zeros((capacity,), bool),
+        robust_delta=xp.full((capacity,), xp.inf, dtype),
     )
 
 
-def _empty_point_priors(capacity, dtype):
+def _empty_point_priors(capacity, dtype, xp=jnp):
     return PointPriorFactors(
-        i=jnp.zeros((capacity,), jnp.int32),
-        p_meas=jnp.zeros((capacity, 3), dtype),
-        axis_mask=jnp.ones((capacity, 3), dtype),
-        sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (capacity, 1, 1)),
-        mask=jnp.zeros((capacity,), bool),
-        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+        i=xp.zeros((capacity,), xp.int32),
+        p_meas=xp.zeros((capacity, 3), dtype),
+        axis_mask=xp.ones((capacity, 3), dtype),
+        sqrt_info=xp.tile(xp.eye(3, dtype=dtype), (capacity, 1, 1)),
+        mask=xp.zeros((capacity,), bool),
+        robust_delta=xp.full((capacity,), xp.inf, dtype),
     )
 
 
-def _empty_quat_priors(capacity, dtype):
+def _empty_quat_priors(capacity, dtype, xp=jnp):
     return QuatPriorFactors(
-        i=jnp.zeros((capacity,), jnp.int32),
-        R_meas=jnp.tile(jnp.eye(3, dtype=dtype), (capacity, 1, 1)),
-        sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (capacity, 1, 1)),
-        mask=jnp.zeros((capacity,), bool),
-        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+        i=xp.zeros((capacity,), xp.int32),
+        R_meas=xp.tile(xp.eye(3, dtype=dtype), (capacity, 1, 1)),
+        sqrt_info=xp.tile(xp.eye(3, dtype=dtype), (capacity, 1, 1)),
+        mask=xp.zeros((capacity,), bool),
+        robust_delta=xp.full((capacity,), xp.inf, dtype),
     )
 
 
-def _empty_vec_priors(capacity, dtype):
+def _empty_vec_priors(capacity, dtype, xp=jnp):
+    up = xp.asarray([0.0, 0.0, 1.0], dtype=dtype)
     return VecPriorFactors(
-        i=jnp.zeros((capacity,), jnp.int32),
-        dir_world=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], dtype), (capacity, 1)),
-        dir_meas=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], dtype), (capacity, 1)),
-        sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (capacity, 1, 1)),
-        mask=jnp.zeros((capacity,), bool),
-        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+        i=xp.zeros((capacity,), xp.int32),
+        dir_world=xp.tile(up, (capacity, 1)),
+        dir_meas=xp.tile(up, (capacity, 1)),
+        sqrt_info=xp.tile(xp.eye(3, dtype=dtype), (capacity, 1, 1)),
+        mask=xp.zeros((capacity,), bool),
+        robust_delta=xp.full((capacity,), xp.inf, dtype),
     )
 
 
-def _empty_plane_factors(capacity, dtype):
-    plane = jnp.tile(jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype), (capacity, 1))
+def _empty_plane_factors(capacity, dtype, xp=jnp):
+    up = xp.asarray([0.0, 0.0, 1.0, 0.0], dtype=dtype)
     return GroundPlaneFactors(
-        i=jnp.zeros((capacity,), jnp.int32),
-        plane_world=plane,
-        plane_meas=plane,
-        sqrt_info=jnp.tile(jnp.eye(4, dtype=dtype), (capacity, 1, 1)),
-        mask=jnp.zeros((capacity,), bool),
-        robust_delta=jnp.full((capacity,), jnp.inf, dtype),
+        i=xp.zeros((capacity,), xp.int32),
+        # two separate buffers: with xp=np these are mutated in place
+        plane_world=xp.tile(up, (capacity, 1)),
+        plane_meas=xp.tile(up, (capacity, 1)),
+        sqrt_info=xp.tile(xp.eye(4, dtype=dtype), (capacity, 1, 1)),
+        mask=xp.zeros((capacity,), bool),
+        robust_delta=xp.full((capacity,), xp.inf, dtype),
     )
 
 
@@ -231,12 +233,15 @@ def empty_graph(
     n_vec_priors: int = 0,
     n_plane_factors: int = 0,
     dtype=jnp.float64,
+    xp=jnp,
 ) -> GraphData:
+    """`xp=np` builds host-side numpy buffers — the graph builder fills them
+    by plain assignment (no per-factor device dispatches) and converts once."""
     return GraphData(
-        between=_empty_between(n_between, dtype),
-        priors=_empty_priors(n_priors, dtype),
-        point_priors=_empty_point_priors(max(n_point_priors, 1), dtype),
-        quat_priors=_empty_quat_priors(max(n_quat_priors, 1), dtype),
-        vec_priors=_empty_vec_priors(max(n_vec_priors, 1), dtype),
-        plane_factors=_empty_plane_factors(max(n_plane_factors, 1), dtype),
+        between=_empty_between(n_between, dtype, xp),
+        priors=_empty_priors(n_priors, dtype, xp),
+        point_priors=_empty_point_priors(max(n_point_priors, 1), dtype, xp),
+        quat_priors=_empty_quat_priors(max(n_quat_priors, 1), dtype, xp),
+        vec_priors=_empty_vec_priors(max(n_vec_priors, 1), dtype, xp),
+        plane_factors=_empty_plane_factors(max(n_plane_factors, 1), dtype, xp),
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,7 +85,16 @@ class PoseGraph:
         )
 
     # ---- freeze ---------------------------------------------------------
-    def freeze(self, capacity_between=None, capacity_unary=None):
+    def freeze(self, capacity_between=None, capacity_unary=None, as_numpy=False):
+        """Build the padded GraphData. Buffers are assembled host-side in
+        numpy (one device transfer per leaf at the end, NOT O(factors) eager
+        `.at[].set` dispatches — which were both slow and, on the tunneled
+        TPU backend, left every later jit closing over device-array constants
+        at risk of the dispatch-latency degradation documented in bench.py).
+
+        `as_numpy=True` skips the device transfer entirely: the returned
+        pytrees hold numpy arrays, which JAX converts at the jit boundary and
+        which are safe to capture as closure constants."""
         K = len(self.poses)
         jdtype = jnp.asarray(np.zeros(1, self.dtype)).dtype
         g = empty_graph(
@@ -94,71 +104,60 @@ class PoseGraph:
             _pad_to(len(self._quat_priors), capacity_unary),
             _pad_to(len(self._vec_priors), capacity_unary),
             _pad_to(len(self._plane_factors), capacity_unary),
-            dtype=jdtype,
+            dtype=self.dtype,
+            xp=np,
         )
         b = g.between
         for n, (i, j, T, sq, rd) in enumerate(self._between):
-            b = b._replace(
-                i=b.i.at[n].set(i),
-                j=b.j.at[n].set(j),
-                T_meas=b.T_meas.at[n].set(T),
-                sqrt_info=b.sqrt_info.at[n].set(sq),
-                mask=b.mask.at[n].set(True),
-                robust_delta=b.robust_delta.at[n].set(rd),
-            )
+            b.i[n] = i
+            b.j[n] = j
+            b.T_meas[n] = T
+            b.sqrt_info[n] = sq
+            b.mask[n] = True
+            b.robust_delta[n] = rd
         p = g.priors
         for n, (i, T, sq, rd) in enumerate(self._priors):
-            p = p._replace(
-                i=p.i.at[n].set(i),
-                T_meas=p.T_meas.at[n].set(T),
-                sqrt_info=p.sqrt_info.at[n].set(sq),
-                mask=p.mask.at[n].set(True),
-                robust_delta=p.robust_delta.at[n].set(rd),
-            )
+            p.i[n] = i
+            p.T_meas[n] = T
+            p.sqrt_info[n] = sq
+            p.mask[n] = True
+            p.robust_delta[n] = rd
         pp = g.point_priors
         for n, (i, pm, ax, sq, rd) in enumerate(self._point_priors):
-            pp = pp._replace(
-                i=pp.i.at[n].set(i),
-                p_meas=pp.p_meas.at[n].set(pm),
-                axis_mask=pp.axis_mask.at[n].set(ax),
-                sqrt_info=pp.sqrt_info.at[n].set(sq),
-                mask=pp.mask.at[n].set(True),
-                robust_delta=pp.robust_delta.at[n].set(rd),
-            )
+            pp.i[n] = i
+            pp.p_meas[n] = pm
+            pp.axis_mask[n] = ax
+            pp.sqrt_info[n] = sq
+            pp.mask[n] = True
+            pp.robust_delta[n] = rd
         q = g.quat_priors
         for n, (i, Rm, sq, rd) in enumerate(self._quat_priors):
-            q = q._replace(
-                i=q.i.at[n].set(i),
-                R_meas=q.R_meas.at[n].set(Rm),
-                sqrt_info=q.sqrt_info.at[n].set(sq),
-                mask=q.mask.at[n].set(True),
-                robust_delta=q.robust_delta.at[n].set(rd),
-            )
+            q.i[n] = i
+            q.R_meas[n] = Rm
+            q.sqrt_info[n] = sq
+            q.mask[n] = True
+            q.robust_delta[n] = rd
         v = g.vec_priors
         for n, (i, dw, dm, sq, rd) in enumerate(self._vec_priors):
-            v = v._replace(
-                i=v.i.at[n].set(i),
-                dir_world=v.dir_world.at[n].set(dw),
-                dir_meas=v.dir_meas.at[n].set(dm),
-                sqrt_info=v.sqrt_info.at[n].set(sq),
-                mask=v.mask.at[n].set(True),
-                robust_delta=v.robust_delta.at[n].set(rd),
-            )
+            v.i[n] = i
+            v.dir_world[n] = dw
+            v.dir_meas[n] = dm
+            v.sqrt_info[n] = sq
+            v.mask[n] = True
+            v.robust_delta[n] = rd
         pf = g.plane_factors
         for n, (i, pw, pm, sq, rd) in enumerate(self._plane_factors):
-            pf = pf._replace(
-                i=pf.i.at[n].set(i),
-                plane_world=pf.plane_world.at[n].set(pw),
-                plane_meas=pf.plane_meas.at[n].set(pm),
-                sqrt_info=pf.sqrt_info.at[n].set(sq),
-                mask=pf.mask.at[n].set(True),
-                robust_delta=pf.robust_delta.at[n].set(rd),
-            )
-        graph = GraphData(
-            between=b, priors=p, point_priors=pp, quat_priors=q,
-            vec_priors=v, plane_factors=pf,
-        )
-        return jnp.asarray(np.stack(self.poses), dtype=jdtype), graph
+            pf.i[n] = i
+            pf.plane_world[n] = pw
+            pf.plane_meas[n] = pm
+            pf.sqrt_info[n] = sq
+            pf.mask[n] = True
+            pf.robust_delta[n] = rd
+        poses = np.stack(self.poses).astype(self.dtype)
+        if as_numpy:
+            return poses, g
+        graph = jax.tree.map(jnp.asarray, g)
+        return jnp.asarray(poses, dtype=jdtype), graph
 
     # ---- persistence (g2o text format) ---------------------------------
     def save(self, path, poses=None):
