@@ -84,3 +84,23 @@ def test_converter_zero_utm_and_world():
     assert np.linalg.norm(p1[:2]) > 100
     # invalid fix dropped
     assert conv.convert(GPSFix(lat=48, lon=11, alt=None, quality=0)) is None
+
+
+def test_dataset_presets():
+    """Preset calibration chains are valid rigid transforms."""
+    import numpy as np
+
+    from gorio_tpu.io.presets import get_preset
+
+    for name in ("ntu_cp", "ntu_loop2", "ntu_loop3", "msc"):
+        p = get_preset(name)
+        T = p.T_body_radar
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-4
+        assert p.imu_gravity > 9.7
+    assert get_preset("ntu_loop2").utm_to_world is not None
+    assert get_preset("ntu_cp").utm_to_world is None
+    # utm_to_world rotation blocks are orthonormal too
+    U = get_preset("ntu_loop3").utm_to_world
+    np.testing.assert_allclose(U[:3, :3] @ U[:3, :3].T, np.eye(3), atol=1e-3)
