@@ -20,11 +20,13 @@ _METHODS = {
     "FAST_GICP": ("gicp", "gicp"),
     "FAST_APDGICP": ("gicp", "apdgicp"),
     "FAST_VGICP": ("vgicp", None),
+    # FastVGICPCuda's default neighbor method is CPU kd-tree kNN
+    # (`fast_vgicp_cuda.hpp:41` CPU_PARALLEL_KDTREE); pass
+    # covariance_method="rbf" for the GPU_RBF_KERNEL estimator.
     "FAST_VGICP_CUDA": ("vgicp", None),
     "GICP": ("gicp", "gicp"),
     "GICP_OMP": ("gicp", "gicp"),
-    "ICP": ("gicp", "gicp"),  # point covariances ~ identity would be pure ICP;
-    # GICP with PLANE regularization strictly dominates it on TPU
+    "ICP": ("gicp", "icp"),  # point-to-point ICP: identity covariances
     "NDT": ("ndt", None),
     "NDT_OMP": ("ndt", None),
     "NDT_CUDA": ("ndt", None),  # P2D mode (`NDTDistanceMode::P2D`)

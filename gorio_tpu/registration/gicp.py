@@ -34,7 +34,14 @@ class GICPConfig(NamedTuple):
     elevation_var_deg: float = 1.0
     plane_eps: float = 1e-3  # PLANE regularization smallest eigenvalue
     lm: LMConfig = LMConfig()
-    mode: str = "apdgicp"  # "gicp" | "apdgicp"
+    mode: str = "apdgicp"  # "gicp" | "apdgicp" | "icp"
+    # neighborhood covariance estimator: "knn" (FastGICP
+    # `calculate_covariances`) or "rbf" (FastVGICPCuda GPU_RBF_KERNEL,
+    # `covariance_estimation_rbf.cu`); "icp" mode forces identity covariances
+    # (plain point-to-point ICP, `registrations.cpp:48-56`)
+    covariance_method: str = "knn"
+    rbf_kernel_width: float = 0.25  # `fast_vgicp_cuda.cu:25`
+    rbf_max_dist: float = 3.0  # `fast_vgicp_cuda.cu:26`
 
 
 def knn_covariances(xyz, mask, k: int = 20, plane_eps: float = 1e-3, block: int = 512):
@@ -133,11 +140,39 @@ class GICPProblem(NamedTuple):
     tgt_cluster: jax.Array
 
 
+def rbf_regularized_covariances(xyz, mask, kernel_width, max_dist, plane_eps):
+    """RBF-kernel covariances + the same PLANE spectral regularization the
+    CUDA path applies afterwards (`covariance_regularization.cu`, called from
+    `fast_vgicp_cuda.cu:205-218`). Returns (cov (N,3,3), geo_w (N,))."""
+    from ..core.linalg import sym_eigh3
+    from .knn import rbf_covariances
+
+    _, cov, _ = rbf_covariances(xyz, mask, kernel_width, max_dist)
+    lam, V = sym_eigh3(cov)
+    values = jnp.broadcast_to(jnp.array([plane_eps, 1.0, 1.0], xyz.dtype), lam.shape)
+    reg = jnp.einsum("nij,nj,nkj->nik", V, values, V)
+    geo_w = jnp.maximum(lam[:, 0], 0.0) / jnp.maximum(lam[:, 2], 1e-30)
+    return reg, geo_w
+
+
+def _covariances(cloud: PointCloud, cfg):
+    """Neighborhood covariances per the config's `covariance_method`. Shared
+    by GICP and VGICP (duck-typed over GICPConfig/VGICPConfig)."""
+    if getattr(cfg, "mode", "gicp") == "icp":
+        eye = jnp.broadcast_to(
+            jnp.eye(3, dtype=cloud.xyz.dtype), (cloud.xyz.shape[0], 3, 3)
+        )
+        return eye, jnp.zeros((cloud.xyz.shape[0],), cloud.xyz.dtype)
+    if getattr(cfg, "covariance_method", "knn") == "rbf":
+        return rbf_regularized_covariances(
+            cloud.xyz, cloud.mask, cfg.rbf_kernel_width, cfg.rbf_max_dist, cfg.plane_eps
+        )
+    return knn_covariances(cloud.xyz, cloud.mask, cfg.k_correspondences, cfg.plane_eps)
+
+
 def prepare_gicp(source: PointCloud, target: PointCloud, cfg: GICPConfig) -> GICPProblem:
-    src_cov, src_geo = knn_covariances(
-        source.xyz, source.mask, cfg.k_correspondences, cfg.plane_eps
-    )
-    tgt_cov, _ = knn_covariances(target.xyz, target.mask, cfg.k_correspondences, cfg.plane_eps)
+    src_cov, src_geo = _covariances(source, cfg)
+    tgt_cov, _ = _covariances(target, cfg)
     return GICPProblem(
         src_xyz=source.xyz,
         src_mask=source.mask,
@@ -173,13 +208,17 @@ def _correspondences(prob: GICPProblem, T, cfg: GICPConfig):
         cov_B = cov_B + cov_d
     RCR = cov_B + R @ cov_A @ R.T  # (N, 3, 3) via broadcasting
     mah = _inv3(RCR)
-    # weights (`fast_apdgicp_impl.hpp:264-276`): 1 + geo + cluster bonus
-    cl_w = jnp.where(
-        (prob.tgt_cluster[idx] == prob.src_cluster) & (prob.src_cluster >= 0.0),
-        1.0 / prob.src_xyz.shape[0],
-        0.0,
-    )
-    w = 1.0 + prob.src_geo_w + cl_w
+    # weights (`fast_apdgicp_impl.hpp:264-276`): 1 + geo + cluster bonus —
+    # APDGICP only; plain FastGICP/ICP cost is unweighted
+    if cfg.mode == "apdgicp":
+        cl_w = jnp.where(
+            (prob.tgt_cluster[idx] == prob.src_cluster) & (prob.src_cluster >= 0.0),
+            1.0 / prob.src_xyz.shape[0],
+            0.0,
+        )
+        w = 1.0 + prob.src_geo_w + cl_w
+    else:
+        w = jnp.ones_like(prob.src_geo_w)
     return idx, ok, mah, w, moved
 
 

@@ -66,6 +66,60 @@ def knn(query, ref, k: int, ref_mask=None, block: int = 512):
 
 
 @partial(jax.jit, static_argnames=("block",))
+def rbf_covariances(xyz, mask=None, kernel_width: float = 0.25, max_dist: float = 3.0,
+                    block: int = 512):
+    """RBF-kernel-weighted neighborhood mean/covariance per point.
+
+    TPU-native counterpart of the CUDA `covariance_estimation_rbf`
+    (`fast_apdgicp/src/fast_gicp/cuda/covariance_estimation_rbf.cu:67-110`,
+    used by `FastVGICPCuda` with `NearestNeighborMethod::GPU_RBF_KERNEL`):
+    every neighbor within `max_dist` contributes with weight
+    w = exp(-kernel_width * d^2); the weighted second moment about the
+    weighted mean is the covariance. Defaults mirror
+    `fast_vgicp_cuda.cu:25-26` (kernel_width 0.25, max_dist 3.0). All-pairs
+    blocked accumulation — three MXU matmuls per block instead of a kd-tree.
+    Returns (mean (N,3), cov (N,3,3), sum_w (N,))."""
+    n = xyz.shape[0]
+    pad = (-n) % block
+    q = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)], axis=0)
+    bias = jnp.zeros((n,), xyz.dtype)
+    if mask is not None:
+        bias = jnp.where(mask, 0.0, _BIG)
+    kw = jnp.asarray(kernel_width, xyz.dtype)
+    md2 = jnp.asarray(max_dist, xyz.dtype) ** 2
+    # second moments E[x x^T] need the 6 unique products of ref coordinates
+    rx = xyz
+    r2 = jnp.stack(
+        [rx[:, 0] * rx[:, 0], rx[:, 0] * rx[:, 1], rx[:, 0] * rx[:, 2],
+         rx[:, 1] * rx[:, 1], rx[:, 1] * rx[:, 2], rx[:, 2] * rx[:, 2]],
+        axis=-1,
+    )  # (N, 6)
+
+    def one_block(q_blk):
+        d2 = _block_dists(q_blk, xyz, bias)
+        w = jnp.where(d2 <= md2, jnp.exp(-kw * d2), 0.0)  # (B, N)
+        sum_w = jnp.sum(w, axis=-1)
+        m1 = w @ rx  # (B, 3) weighted sum of positions
+        m2 = w @ r2  # (B, 6) weighted sum of second moments
+        return sum_w, m1, m2
+
+    sum_w, m1, m2 = jax.lax.map(one_block, q.reshape(-1, block, 3))
+    sum_w = sum_w.reshape(-1)[:n]
+    m1 = m1.reshape(-1, 3)[:n]
+    m2 = m2.reshape(-1, 6)[:n]
+    sw = jnp.maximum(sum_w, 1e-12)
+    mean = m1 / sw[:, None]
+    exx = jnp.stack(
+        [jnp.stack([m2[:, 0], m2[:, 1], m2[:, 2]], -1),
+         jnp.stack([m2[:, 1], m2[:, 3], m2[:, 4]], -1),
+         jnp.stack([m2[:, 2], m2[:, 4], m2[:, 5]], -1)],
+        axis=-2,
+    ) / sw[:, None, None]
+    cov = exx - mean[:, :, None] * mean[:, None, :]
+    return mean, cov, sum_w
+
+
+@partial(jax.jit, static_argnames=("block",))
 def radius_count(query, ref, radius, ref_mask=None, block: int = 1024):
     """Number of valid refs within `radius` of each query (self included when
     query is in ref). Exact; replaces kd-tree radiusSearch for

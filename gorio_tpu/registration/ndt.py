@@ -163,7 +163,23 @@ _NEIGHBOR_OFFSETS = {
     "direct27": [
         (i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
     ],
+    # KDTREE mode (`ndt_omp_impl.hpp:234-235`): radiusSearch over occupied
+    # voxel centroids with radius = resolution. Candidate voxels are the 27
+    # neighbors; a centroid-distance gate (applied in `_neighbor_gate`)
+    # reproduces the radius semantics without a tree.
+    "kdtree": [
+        (i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+    ],
 }
+
+
+def _neighbor_gate(found, query_xyz, mu, cfg: "NDTConfig"):
+    """Extra centroid-radius gate for the KDTREE neighbor mode; identity for
+    the DIRECT modes (whose voxel-offset membership is the whole criterion)."""
+    if cfg.neighborhood != "kdtree":
+        return found
+    d2 = jnp.sum((query_xyz[:, None, :] - mu) ** 2, axis=-1)
+    return found & (d2 <= jnp.asarray(cfg.resolution**2, d2.dtype))
 
 
 def _gauss_coeffs(cfg: NDTConfig, dtype):
@@ -211,6 +227,7 @@ def ndt_score(source: PointCloud, vmap: VoxelGaussianMap, T, cfg: NDTConfig = ND
         ijk[:, None, :] + offsets[None, :, :],
     )
     found = found & vmap.valid[idx] & source.mask[:, None]
+    found = _neighbor_gate(found, moved, vmap.means[idx], cfg)
     diff = moved[:, None, :] - vmap.means[idx]  # (N, O, 3)
     md2 = jnp.einsum("noi,noij,noj->no", diff, vmap.inv_covs[idx], diff)
     # gauss_d1 < 0, so each matched pair contributes a negative score; the
@@ -248,6 +265,7 @@ def _gather_correspondences(source, vmap, T, cfg):
     )
     found = found & vmap.valid[idx] & source.mask[:, None]
     mu, C = _unpack(vmap.packed[idx])
+    found = _neighbor_gate(found, moved, mu, cfg)
     return found, mu, C
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.pointcloud import PointCloud, masked_min_corner
-from .gicp import _inv3, knn_covariances
+from .gicp import _covariances, _inv3
 from .lsq import LMConfig, LMResult, lm_optimize
 from .ndt import _BITS, _NEIGHBOR_OFFSETS, _SENTINEL, _point_ijk, _table_lookup, _voxel_key_3d
 
@@ -34,6 +34,10 @@ class VGICPConfig(NamedTuple):
     min_points_per_voxel: int = 1
     table_size: int = 1 << 21
     lm: LMConfig = LMConfig()
+    # "knn" (FastVGICP CPU) or "rbf" (FastVGICPCuda GPU_RBF_KERNEL)
+    covariance_method: str = "knn"
+    rbf_kernel_width: float = 0.25
+    rbf_max_dist: float = 3.0
 
 
 class GaussianVoxelMap(NamedTuple):
@@ -53,7 +57,7 @@ def build_gaussian_voxel_map(cloud: PointCloud, cfg: VGICPConfig = VGICPConfig()
     — parity with `FastVGICP::create_voxelmap` (additive mode)."""
     n = cloud.capacity
     dtype = cloud.xyz.dtype
-    pt_cov, _ = knn_covariances(cloud.xyz, cloud.mask, cfg.k_correspondences, cfg.plane_eps)
+    pt_cov, _ = _covariances(cloud, cfg)
     origin = masked_min_corner(cloud.xyz, cloud.mask, pad=2.0 * cfg.resolution)
     ijk = _point_ijk(cloud.xyz, cfg.resolution, origin)
     key = jnp.where(cloud.mask, _voxel_key_3d(ijk), _SENTINEL)
@@ -104,7 +108,7 @@ def build_gaussian_voxel_map(cloud: PointCloud, cfg: VGICPConfig = VGICPConfig()
 def _vgicp_align_jit(source, target, init_T, cfg: VGICPConfig) -> LMResult:
     dtype = source.xyz.dtype
     vmap_t = build_gaussian_voxel_map(target, cfg)
-    src_cov, _ = knn_covariances(source.xyz, source.mask, cfg.k_correspondences, cfg.plane_eps)
+    src_cov, _ = _covariances(source, cfg)
     offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
 
     def correspondences(T):

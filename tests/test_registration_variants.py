@@ -123,3 +123,50 @@ def test_nn1_best_fallback_cpu():
     i1, d1 = nn1_best(q, r)
     i2, d2 = nn1(q, r)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_rbf_covariances_match_bruteforce():
+    from gorio_tpu.registration.knn import rbf_covariances
+
+    rng = np.random.default_rng(7)
+    n, n_valid = 96, 80
+    xyz = rng.normal(scale=1.5, size=(n, 3))
+    mask = np.arange(n) < n_valid
+    kw, md = 0.25, 3.0
+    mean, cov, sw = rbf_covariances(
+        jnp.asarray(xyz), jnp.asarray(mask), kernel_width=kw, max_dist=md, block=32
+    )
+    # brute-force reference (covariance_estimation_rbf.cu semantics)
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    w = np.where((d2 <= md**2) & mask[None, :], np.exp(-kw * d2), 0.0)
+    sw_np = w.sum(-1)
+    mean_np = (w @ xyz) / sw_np[:, None]
+    exx = np.einsum("qn,ni,nj->qij", w, xyz, xyz) / sw_np[:, None, None]
+    cov_np = exx - np.einsum("qi,qj->qij", mean_np, mean_np)
+    np.testing.assert_allclose(np.asarray(sw)[:n_valid], sw_np[:n_valid], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(mean)[:n_valid], mean_np[:n_valid], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov)[:n_valid], cov_np[:n_valid], atol=1e-10)
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("ICP", {}),
+    ("FAST_GICP", dict(covariance_method="rbf")),
+    ("FAST_VGICP_CUDA", dict(resolution=1.0, neighborhood="direct7", covariance_method="rbf")),
+])
+def test_factory_new_variants(scan_pair, method, kwargs):
+    source, target, T_true = scan_pair
+    align = select_registration(method, **kwargs)
+    res = align(source, target)
+    te, re_ = _errors(res.T, T_true)
+    assert te < 0.15, (method, te)
+    assert re_ < np.deg2rad(2.0), (method, re_)
+
+
+def test_ndt_kdtree_neighborhood(scan_pair):
+    source, target, T_true = scan_pair
+    align = select_registration("NDT_OMP", resolution=2.0, min_points_per_voxel=3,
+                                neighborhood="kdtree")
+    res = align(source, target, init_T=T_true)
+    te, re_ = _errors(res.T, T_true)
+    assert te < 0.15, te
+    assert re_ < np.deg2rad(2.0), re_
