@@ -296,7 +296,13 @@ def ndt_align_with_map(
     reference freezing correspondences inside `computeStepLengthMT`."""
     dtype = source.xyz.dtype
     d1, d2 = _gauss_coeffs(cfg, dtype)
-    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1], dtype)
+    # the NDT score is nonconvex: its Hessian goes indefinite well inside the
+    # convergence basin (observed on the ndt_omp benchmark pair), where the
+    # damped-solve direction stops descending at moderate step lengths. The
+    # parallel ladder therefore reaches down to 3e-3 — the analogue of
+    # More-Thuente interval contraction (`ndt_omp_impl.hpp:773-860`), but as
+    # one batched evaluation instead of a serial loop.
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003], dtype)
     # candidate scoring only ranks steps; a strided quarter of the points is
     # statistically plenty and cuts the line-search bandwidth 4x
     ls_stride = 4
@@ -337,13 +343,21 @@ def ndt_align_with_map(
         T, it, done, last_score = state
         found, mu, C = _gather_correspondences(source, vmap_t, T, cfg)
         _, g, H = derivatives(found, mu, C, T)
-        lam = 1e-4 * jnp.maximum(jnp.max(jnp.abs(jnp.diag(H))), 1.0)
-        d = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=dtype), g)
+        # Modified Newton: the NDT Hessian goes indefinite inside the basin,
+        # so damp by a Gershgorin lower bound on its spectrum — cheap (no
+        # factorization-sized subgraph in the loop body, unlike eigh, which
+        # on TPU inlines a QDWH iteration per step) and the shifted system is
+        # PD, so the solve direction always descends.
+        absH = jnp.abs(H)
+        gersh_lo = jnp.min(jnp.diag(H) - (jnp.sum(absH, axis=1) - jnp.abs(jnp.diag(H))))
+        floor = 1e-4 * jnp.maximum(jnp.max(jnp.diag(absH)), 1.0)
+        shift = jnp.maximum(floor, floor - gersh_lo)
+        d = -jnp.linalg.solve(H + shift * jnp.eye(6, dtype=dtype), g)
         d_norm = jnp.linalg.norm(d)
         d_capped = jnp.where(d_norm > 1.0, d / jnp.maximum(d_norm, 1e-12), d)
         g_dir = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
         cand = jnp.concatenate(
-            [alphas[:, None] * d_capped[None, :], alphas[:2, None] * g_dir[None, :]]
+            [alphas[:, None] * d_capped[None, :], alphas[:4, None] * g_dir[None, :]]
         )
         found_ls = found[::ls_stride]
         mu_ls = mu[::ls_stride]
