@@ -22,6 +22,7 @@ from ..core import lie
 from .factors import (
     GraphData,
     empty_graph,
+    empty_plane_graph,
 )
 
 
@@ -38,18 +39,32 @@ class PoseGraph:
 
     dtype: type = np.float64
     poses: list = field(default_factory=list)  # list of (4,4) np arrays
+    planes: list = field(default_factory=list)  # list of (4,) np arrays [n, d]
     _between: list = field(default_factory=list)
     _priors: list = field(default_factory=list)
     _point_priors: list = field(default_factory=list)
     _quat_priors: list = field(default_factory=list)
     _vec_priors: list = field(default_factory=list)
     _plane_factors: list = field(default_factory=list)
+    _plane_priors: list = field(default_factory=list)
+    _plane_plane: list = field(default_factory=list)
+    _se3_plane: list = field(default_factory=list)
+    _z_between: list = field(default_factory=list)
+    _utm_align: list = field(default_factory=list)
 
     # ---- vertices -------------------------------------------------------
     def add_pose(self, T) -> int:
         """Parity: `GraphSLAM::add_se3_node` (`graph_slam.cpp:88`)."""
         self.poses.append(np.asarray(T, dtype=self.dtype))
         return len(self.poses) - 1
+
+    def add_plane(self, coeffs) -> int:
+        """Plane vertex [n, d] with |n|=1; parity: `add_plane_node`
+        (`graph_slam.cpp:96`, g2o::VertexPlane)."""
+        p = np.asarray(coeffs, dtype=self.dtype)
+        nrm = np.linalg.norm(p[:3])
+        self.planes.append(p / max(nrm, 1e-12))
+        return len(self.planes) - 1
 
     # ---- factors --------------------------------------------------------
     def add_between(self, i, j, T_meas, info, robust_delta=math.inf):
@@ -83,6 +98,140 @@ class PoseGraph:
             (i, np.asarray(plane_world, self.dtype), np.asarray(plane_meas, self.dtype),
              _sqrt_info(info, 4, self.dtype), robust_delta)
         )
+
+    # ---- plane-vertex factors (g2o edge parity, `graph_slam.cpp:170-340`) -
+    def add_plane_prior_normal(self, j, n_meas, info, robust_delta=math.inf):
+        """Parity: EdgePlanePriorNormal via `add_plane_normal_prior_edge`."""
+        sq3 = _sqrt_info(info, 3, self.dtype)
+        sq = np.zeros((4, 4), self.dtype)
+        sq[:3, :3] = sq3
+        self._plane_priors.append(
+            (j, np.asarray(n_meas, self.dtype), 0.0, sq, robust_delta)
+        )
+
+    def add_plane_prior_distance(self, j, d_meas, info, robust_delta=math.inf):
+        """Parity: EdgePlanePriorDistance via `add_plane_distance_prior_edge`."""
+        sq = np.zeros((4, 4), self.dtype)
+        sq[3, 3] = math.sqrt(float(np.asarray(info).reshape(-1)[0]))
+        self._plane_priors.append(
+            (j, np.array([0.0, 0.0, 1.0], self.dtype), float(d_meas), sq, robust_delta)
+        )
+
+    def add_plane_identity(self, i, j, meas, info, robust_delta=math.inf):
+        """Parity: EdgePlaneIdentity (`add_plane_identity_edge`)."""
+        self._plane_plane.append(
+            (i, j, 0, np.asarray(meas, self.dtype), _sqrt_info(info, 4, self.dtype), robust_delta)
+        )
+
+    def add_plane_parallel(self, i, j, meas, info, robust_delta=math.inf):
+        """Parity: EdgePlaneParallel — meas is the expected 3-dof normal
+        difference (usually zero)."""
+        sq = np.zeros((4, 4), self.dtype)
+        sq[:3, :3] = _sqrt_info(info, 3, self.dtype)
+        m = np.zeros(4, self.dtype)
+        m[:3] = np.asarray(meas, self.dtype)
+        self._plane_plane.append((i, j, 1, m, sq, robust_delta))
+
+    def add_plane_perpendicular(self, i, j, info, robust_delta=math.inf):
+        """Parity: EdgePlanePerpendicular — penalizes n_i . n_j."""
+        sq = np.zeros((4, 4), self.dtype)
+        sq[0, 0] = math.sqrt(float(np.asarray(info).reshape(-1)[0]))
+        self._plane_plane.append((i, j, 2, np.zeros(4, self.dtype), sq, robust_delta))
+
+    def add_se3_plane(self, i, j, plane_meas, info, robust_delta=math.inf):
+        """Binary pose-plane observation; parity: EdgeSE3Plane via
+        `add_se3_plane_edge` (`graph_slam.cpp:110`). `plane_meas` is the
+        body-frame [n, d] measurement (3-dof chart residual)."""
+        pm = np.asarray(plane_meas, self.dtype)
+        pm = pm / max(np.linalg.norm(pm[:3]), 1e-12)
+        self._se3_plane.append((i, j, pm, _sqrt_info(info, 3, self.dtype), robust_delta))
+
+    def add_se3_z(self, i, j, z_meas, info, robust_delta=math.inf):
+        """Parity: EdgeSE3Z (`edge_se3_z.hpp`): relative altitude z_j - z_i."""
+        sq = np.array([[math.sqrt(float(np.asarray(info).reshape(-1)[0]))]], self.dtype)
+        self._z_between.append((i, j, float(z_meas), sq, robust_delta))
+
+    def add_utm_align(self, i, p_utm, p_world, info, robust_delta=math.inf):
+        """Parity: EdgeSE3GtUTM — pose i maps the UTM point onto the world
+        point (the `gps_traj_align` factor)."""
+        self._utm_align.append(
+            (i, np.asarray(p_utm, self.dtype), np.asarray(p_world, self.dtype),
+             _sqrt_info(info, 3, self.dtype), robust_delta)
+        )
+
+    @property
+    def has_plane_extension(self) -> bool:
+        return bool(
+            self.planes
+            or self._plane_priors
+            or self._plane_plane
+            or self._se3_plane
+            or self._z_between
+            or self._utm_align
+        )
+
+    def freeze_planes(self, capacity=None, as_numpy=False):
+        """Pack the plane-extension factors into `PlaneGraphData` plus the
+        (M, 4) plane-vertex array, for `optimize_graph_with_planes`."""
+        pg = empty_plane_graph(
+            _pad_to(len(self._plane_priors), capacity),
+            _pad_to(len(self._plane_plane), capacity),
+            _pad_to(len(self._se3_plane), capacity),
+            _pad_to(len(self._z_between), capacity),
+            _pad_to(len(self._utm_align), capacity),
+            dtype=self.dtype,
+            xp=np,
+        )
+        f = pg.plane_priors
+        for n, (j, nm, dm, sq, rd) in enumerate(self._plane_priors):
+            f.i[n] = j
+            f.n_meas[n] = nm
+            f.d_meas[n] = dm
+            f.sqrt_info[n] = sq
+            f.mask[n] = True
+            f.robust_delta[n] = rd
+        f = pg.plane_plane
+        for n, (i, j, kind, m, sq, rd) in enumerate(self._plane_plane):
+            f.i[n] = i
+            f.j[n] = j
+            f.kind[n] = kind
+            f.meas[n] = m
+            f.sqrt_info[n] = sq
+            f.mask[n] = True
+            f.robust_delta[n] = rd
+        f = pg.se3_plane
+        for n, (i, j, pm, sq, rd) in enumerate(self._se3_plane):
+            f.i[n] = i
+            f.j[n] = j
+            f.plane_meas[n] = pm
+            f.sqrt_info[n] = sq
+            f.mask[n] = True
+            f.robust_delta[n] = rd
+        f = pg.z_between
+        for n, (i, j, z, sq, rd) in enumerate(self._z_between):
+            f.i[n] = i
+            f.j[n] = j
+            f.z_meas[n] = z
+            f.sqrt_info[n] = sq
+            f.mask[n] = True
+            f.robust_delta[n] = rd
+        f = pg.utm_align
+        for n, (i, pu, pw, sq, rd) in enumerate(self._utm_align):
+            f.i[n] = i
+            f.p_utm[n] = pu
+            f.p_world[n] = pw
+            f.sqrt_info[n] = sq
+            f.mask[n] = True
+            f.robust_delta[n] = rd
+        planes = (
+            np.stack(self.planes).astype(self.dtype)
+            if self.planes
+            else np.tile(np.array([0.0, 0.0, 1.0, 0.0], self.dtype), (1, 1))
+        )
+        if as_numpy:
+            return planes, pg
+        jdtype = jnp.asarray(np.zeros(1, self.dtype)).dtype
+        return jnp.asarray(planes, dtype=jdtype), jax.tree.map(jnp.asarray, pg)
 
     # ---- freeze ---------------------------------------------------------
     def freeze(self, capacity_between=None, capacity_unary=None, as_numpy=False):
@@ -211,6 +360,36 @@ class PoseGraph:
                 )
                 if math.isfinite(rd):
                     kernels.append(("GORIO_PRIOR_SE3", ordinal, rd))
+            # plane vertices (g2o VERTEX_PLANE) and extension edges; plane ids
+            # continue after the pose ids, matching g2o's shared id space
+            K = len(ps)
+            for m, p in enumerate(np.asarray(self.planes).reshape(-1, 4)):
+                fh.write(f"VERTEX_PLANE {K + m} {p[0]} {p[1]} {p[2]} {p[3]}\n")
+            def _upper(sq, d):
+                info = sq.T @ sq
+                return " ".join(str(info[r, c]) for r in range(d) for c in range(r, d))
+            for j, nm, dm, sq, rd in self._plane_priors:
+                fh.write(
+                    f"GORIO_PLANE_PRIOR {K + j} {nm[0]} {nm[1]} {nm[2]} {dm} "
+                    + _upper(sq, 4) + "\n"
+                )
+            for i, j, kind, m, sq, rd in self._plane_plane:
+                fh.write(
+                    f"GORIO_PLANE_PLANE {K + i} {K + j} {kind} "
+                    f"{m[0]} {m[1]} {m[2]} {m[3]} " + _upper(sq, 4) + "\n"
+                )
+            for i, j, pm, sq, rd in self._se3_plane:
+                fh.write(
+                    f"GORIO_SE3_PLANE {i} {K + j} {pm[0]} {pm[1]} {pm[2]} {pm[3]} "
+                    + _upper(sq, 3) + "\n"
+                )
+            for i, j, z, sq, rd in self._z_between:
+                fh.write(f"GORIO_SE3_Z {i} {j} {z} {float(sq[0, 0]) ** 2}\n")
+            for i, pu, pw, sq, rd in self._utm_align:
+                fh.write(
+                    f"GORIO_SE3_GT_UTM {i} {pu[0]} {pu[1]} {pu[2]} "
+                    f"{pw[0]} {pw[1]} {pw[2]} " + _upper(sq, 3) + "\n"
+                )
         if kernels:
             with open(str(path) + ".kernels", "w") as kf:
                 for tag, ordinal, delta in kernels:
@@ -225,7 +404,20 @@ class PoseGraph:
 
         g = cls(dtype=dtype)
         verts = {}
+        plane_verts = {}  # raw g2o id -> coeffs; ids remapped after reading
+        raw_plane_priors = []
+        raw_plane_plane = []
+        raw_se3_plane = []
         kernels = {}
+
+        def _info_from_upper(vals, d):
+            info = np.zeros((d, d))
+            n = 0
+            for r in range(d):
+                for c in range(r, d):
+                    info[r, c] = info[c, r] = vals[n]
+                    n += 1
+            return info
         if os.path.exists(str(path) + ".kernels"):
             with open(str(path) + ".kernels") as kf:
                 for line in kf:
@@ -292,8 +484,47 @@ class PoseGraph:
                     rd = kernels.get(("GORIO_PRIOR_SE3", n_prior), math.inf)
                     g._priors.append((i, T, _sqrt_info(info, 6, dtype), rd))
                     n_prior += 1
+                elif tok[0] == "VERTEX_PLANE":
+                    plane_verts[int(tok[1])] = np.array(list(map(float, tok[2:6])))
+                elif tok[0] == "GORIO_PLANE_PRIOR":
+                    j = int(tok[1])
+                    nm = np.array(list(map(float, tok[2:5])))
+                    dm = float(tok[5])
+                    sq = _sqrt_info(_info_from_upper(list(map(float, tok[6:16])), 4), 4, dtype)
+                    raw_plane_priors.append((j, nm, dm, sq, math.inf))
+                elif tok[0] == "GORIO_PLANE_PLANE":
+                    i, j, kind = int(tok[1]), int(tok[2]), int(tok[3])
+                    m = np.array(list(map(float, tok[4:8])))
+                    sq = _sqrt_info(_info_from_upper(list(map(float, tok[8:18])), 4), 4, dtype)
+                    raw_plane_plane.append((i, j, kind, m, sq, math.inf))
+                elif tok[0] == "GORIO_SE3_PLANE":
+                    i, j = int(tok[1]), int(tok[2])
+                    pm = np.array(list(map(float, tok[3:7])))
+                    sq = _sqrt_info(_info_from_upper(list(map(float, tok[7:13])), 3), 3, dtype)
+                    raw_se3_plane.append((i, j, pm, sq, math.inf))
+                elif tok[0] == "GORIO_SE3_Z":
+                    i, j = int(tok[1]), int(tok[2])
+                    z, info1 = float(tok[3]), float(tok[4])
+                    g._z_between.append(
+                        (i, j, z, np.array([[math.sqrt(info1)]], dtype), math.inf)
+                    )
+                elif tok[0] == "GORIO_SE3_GT_UTM":
+                    i = int(tok[1])
+                    pu = np.array(list(map(float, tok[2:5])))
+                    pw = np.array(list(map(float, tok[5:8])))
+                    sq = _sqrt_info(_info_from_upper(list(map(float, tok[8:14])), 3), 3, dtype)
+                    g._utm_align.append((i, pu, pw, sq, math.inf))
         for k in sorted(verts):
             g.poses.append(verts[k])
+        # plane ids were written offset by the pose count; remap to 0-based
+        K = len(g.poses)
+        for k in sorted(plane_verts):
+            g.planes.append(plane_verts[k].astype(dtype))
+        g._plane_priors = [(j - K, nm, dm, sq, rd) for j, nm, dm, sq, rd in raw_plane_priors]
+        g._plane_plane = [
+            (i - K, j - K, kind, m, sq, rd) for i, j, kind, m, sq, rd in raw_plane_plane
+        ]
+        g._se3_plane = [(i, j - K, pm, sq, rd) for i, j, pm, sq, rd in raw_se3_plane]
         return g
 
 

@@ -25,12 +25,19 @@ from .factors import (
     BetweenFactors,
     GraphData,
     GroundPlaneFactors,
+    PlaneGraphData,
+    PlanePlaneFactors,
+    PlanePriorFactors,
     PointPriorFactors,
     PriorFactors,
     QuatPriorFactors,
+    SE3PlaneFactors,
+    UTMAlignFactors,
     VecPriorFactors,
+    ZBetweenFactors,
     huber_weight,
     retract,
+    retract_plane,
 )
 
 
@@ -275,6 +282,245 @@ def optimize_graph(poses0, graph: GraphData, cfg: SolveConfig = SolveConfig()) -
     init = (poses0, jnp.asarray(cfg.lm_lambda_init, dtype), jnp.asarray(jnp.inf, dtype), 0, False, H0)
     poses, lam, chi2, iters, _, H = jax.lax.while_loop(cond, body, init)
     return SolveResult(poses=poses, chi2=chi2, iterations=iters, lm_lambda=lam, H=H)
+
+
+# ---------------------------------------------------------------------------
+# Joint pose + plane-vertex optimization (g2o VertexPlane graph parity)
+# ---------------------------------------------------------------------------
+
+
+def _plane_terms(poses, planes, pg: PlaneGraphData):
+    """Residual/Jacobian terms of every plane-extension family, as block
+    normal-equation contributions: pose-pose (K,K,6,6), pose-plane (K,M,6,3),
+    plane-plane (M,M,3,3), gradients (K,6)/(M,3), and chi2."""
+    K, M = poses.shape[0], planes.shape[0]
+    dtype = poses.dtype
+    z6 = jnp.zeros(6, dtype)
+    z3 = jnp.zeros(3, dtype)
+
+    Hxx = jnp.zeros((K, K, 6, 6), dtype)
+    Hxp = jnp.zeros((K, M, 6, 3), dtype)
+    Hpp = jnp.zeros((M, M, 3, 3), dtype)
+    bx = jnp.zeros((K, 6), dtype)
+    bp = jnp.zeros((M, 3), dtype)
+    chi2 = jnp.zeros((), dtype)
+
+    # plane priors (unary on plane)
+    f = pg.plane_priors
+
+    def pp_one(fi, nm, dm):
+        p = planes[fi]
+        r = PlanePriorFactors.residual(p, nm, dm)
+        J = jax.jacfwd(lambda d: PlanePriorFactors.residual(retract_plane(p, d), nm, dm))(z3)
+        return r, J
+
+    r, J = jax.vmap(pp_one)(f.i, f.n_meas, f.d_meas)
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jw = jnp.einsum("fij,fjk->fik", f.sqrt_info, J)
+    Hpp = Hpp.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jw, Jw, w))
+    bp = bp.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jw, rw, w))
+    chi2 = chi2 + c2
+
+    # plane-plane (identity / parallel / perpendicular)
+    f = pg.plane_plane
+
+    def pl2_one(fi, fj, kind, meas):
+        pi, pj = planes[fi], planes[fj]
+
+        def local(d):
+            return PlanePlaneFactors.residual(
+                retract_plane(pi, d[:3]), retract_plane(pj, d[3:]), kind, meas
+            )
+
+        r = local(z6)
+        J = jax.jacfwd(local)(z6)
+        return r, J[:, :3], J[:, 3:]
+
+    r, Ji, Jj = jax.vmap(pl2_one)(f.i, f.j, f.kind, f.meas)
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Jjw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jj)
+    Hpp = Hpp.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    Hpp = Hpp.at[f.j, f.j].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jjw, w))
+    Hpp = Hpp.at[f.i, f.j].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jjw, w))
+    Hpp = Hpp.at[f.j, f.i].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jiw, w))
+    bp = bp.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    bp = bp.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jjw, rw, w))
+    chi2 = chi2 + c2
+
+    # se3-plane (pose i observes plane j)
+    f = pg.se3_plane
+
+    def sp_one(fi, fj, meas):
+        T, p = poses[fi], planes[fj]
+
+        def local(d):
+            return SE3PlaneFactors.residual(retract(T, d[:6]), retract_plane(p, d[6:]), meas)
+
+        d0 = jnp.zeros(9, dtype)
+        r = local(d0)
+        J = jax.jacfwd(local)(d0)
+        return r, J[:, :6], J[:, 6:]
+
+    r, Jx, Jp = jax.vmap(sp_one)(f.i, f.j, f.plane_meas)
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jxw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jx)
+    Jpw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jp)
+    Hxx = Hxx.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jxw, Jxw, w))
+    Hpp = Hpp.at[f.j, f.j].add(jnp.einsum("fji,fjk,f->fik", Jpw, Jpw, w))
+    Hxp = Hxp.at[f.i, f.j].add(jnp.einsum("fji,fjk,f->fik", Jxw, Jpw, w))
+    bx = bx.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jxw, rw, w))
+    bp = bp.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jpw, rw, w))
+    chi2 = chi2 + c2
+
+    # z-between (pose-pose, 1-dof)
+    f = pg.z_between
+    r, Ji, Jj = _family_terms(poses, f, ZBetweenFactors.residual, unary=False)(
+        f.i, f.j, f.z_meas
+    )
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Jjw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jj)
+    Hxx = Hxx.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    Hxx = Hxx.at[f.j, f.j].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jjw, w))
+    Hxx = Hxx.at[f.i, f.j].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jjw, w))
+    Hxx = Hxx.at[f.j, f.i].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jiw, w))
+    bx = bx.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    bx = bx.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jjw, rw, w))
+    chi2 = chi2 + c2
+
+    # UTM alignment (unary on pose)
+    f = pg.utm_align
+    r, Ji = _family_terms(poses, f, UTMAlignFactors.residual, unary=True)(
+        f.i, f.p_utm, f.p_world
+    )
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Hxx = Hxx.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    bx = bx.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    chi2 = chi2 + c2
+
+    return Hxx, Hxp, Hpp, bx, bp, chi2
+
+
+def plane_graph_chi2(poses, planes, pg: PlaneGraphData):
+    """Robustified chi2 of the plane-extension families only."""
+    c2 = jnp.zeros((), poses.dtype)
+    f = pg.plane_priors
+    r = jax.vmap(lambda i, nm, dm: PlanePriorFactors.residual(planes[i], nm, dm))(
+        f.i, f.n_meas, f.d_meas
+    )
+    _, _, c = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    c2 += c
+    f = pg.plane_plane
+    r = jax.vmap(
+        lambda i, j, k, m: PlanePlaneFactors.residual(planes[i], planes[j], k, m)
+    )(f.i, f.j, f.kind, f.meas)
+    _, _, c = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    c2 += c
+    f = pg.se3_plane
+    r = jax.vmap(lambda i, j, m: SE3PlaneFactors.residual(poses[i], planes[j], m))(
+        f.i, f.j, f.plane_meas
+    )
+    _, _, c = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    c2 += c
+    f = pg.z_between
+    r = jax.vmap(lambda i, j, m: ZBetweenFactors.residual(poses[i], poses[j], m))(
+        f.i, f.j, f.z_meas
+    )
+    _, _, c = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    c2 += c
+    f = pg.utm_align
+    r = jax.vmap(lambda i, pu, pw: UTMAlignFactors.residual(poses[i], pu, pw))(
+        f.i, f.p_utm, f.p_world
+    )
+    _, _, c = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    c2 += c
+    return c2
+
+
+class PlaneSolveResult(NamedTuple):
+    poses: jax.Array  # (K, 4, 4)
+    planes: jax.Array  # (M, 4)
+    chi2: jax.Array
+    iterations: jax.Array
+    lm_lambda: jax.Array
+    H: jax.Array  # (6K+3M, 6K+3M)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_graph_with_planes(
+    poses0,
+    planes0,
+    graph: GraphData,
+    plane_graph: PlaneGraphData,
+    cfg: SolveConfig = SolveConfig(),
+) -> PlaneSolveResult:
+    """Joint LM over SE3 poses and plane vertices — the full g2o vertex set
+    (`VertexSE3` + `VertexPlane`, `graph_slam.cpp:88-123`) in one dense
+    batched solve. State x = [6K pose coords | 3M plane coords]."""
+    K = poses0.shape[0]
+    M = planes0.shape[0]
+    dtype = poses0.dtype
+    D = 6 * K + 3 * M
+
+    free = jnp.ones((D,), dtype)
+    if cfg.fix_first:
+        free = free.at[:6].set(0.0)
+
+    def lin(poses, planes):
+        Hb, bb, chi2 = build_normal_equations(poses, graph)
+        Hxx, Hxp, Hpp, bx, bp, c2p = _plane_terms(poses, planes, plane_graph)
+        Hpose = _flatten_H(Hb + Hxx)
+        Hplane = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(3 * M, 3 * M)
+        Hcross = jnp.transpose(Hxp, (0, 2, 1, 3)).reshape(6 * K, 3 * M)
+        H = jnp.block([[Hpose, Hcross], [Hcross.T, Hplane]])
+        b = jnp.concatenate([(bb + bx).reshape(-1), bp.reshape(-1)])
+        H = H * free[:, None] * free[None, :]
+        H = H + jnp.diag(1.0 - free)
+        b = b * free
+        return H, b, chi2 + c2p
+
+    def full_chi2(poses, planes):
+        return graph_chi2(poses, graph) + plane_graph_chi2(poses, planes, plane_graph)
+
+    def body(state):
+        poses, planes, lam, chi2_prev, it, done, H_last = state
+        H, b, chi2 = lin(poses, planes)
+        if cfg.solver == "cg":
+            delta = _solve_cg(H, b, lam, dtype, cfg.cg_iters)
+        else:
+            delta = _solve_dense(H, b, lam, dtype)
+        delta = delta * free
+        poses_new = jax.vmap(retract)(poses, delta[: 6 * K].reshape(K, 6))
+        planes_new = jax.vmap(retract_plane)(planes, delta[6 * K :].reshape(M, 3))
+        chi2_new = full_chi2(poses_new, planes_new)
+        accept = chi2_new < chi2
+        poses_out = jnp.where(accept, poses_new, poses)
+        planes_out = jnp.where(accept, planes_new, planes)
+        lam_out = jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor)
+        rel = jnp.abs(chi2 - chi2_new) / jnp.maximum(chi2, 1e-30)
+        done_new = accept & (rel < cfg.rel_tol)
+        return poses_out, planes_out, lam_out, jnp.where(accept, chi2_new, chi2), it + 1, done_new, H
+
+    def cond(state):
+        _, _, _, _, it, done, _ = state
+        return (it < cfg.max_iterations) & (~done)
+
+    H0 = jnp.eye(D, dtype=dtype)
+    init = (
+        poses0,
+        planes0,
+        jnp.asarray(cfg.lm_lambda_init, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        0,
+        False,
+        H0,
+    )
+    poses, planes, lam, chi2, iters, _, H = jax.lax.while_loop(cond, body, init)
+    return PlaneSolveResult(
+        poses=poses, planes=planes, chi2=chi2, iterations=iters, lm_lambda=lam, H=H
+    )
 
 
 def laplace_covariance(result: SolveResult):
