@@ -85,6 +85,7 @@ def cmd_slam(args):
             preint_mode=args.preint,
             gyr_var=float(imu["gyr_var"]),
             vel_var=float(imu["vel_var"]),
+            enable_floor_constraint=args.floor,
         )
     )
     for t, g in zip(imu["gyr_t"], imu["gyr"]):
@@ -114,8 +115,19 @@ def cmd_slam(args):
                 slam.push_twist(float(stamp), v)
         with timer.stage("scan_matching"):
             pose = odo.step(float(stamp), cloud, v)
+        floor = None
+        if args.floor:
+            from .estimators.groundseg import GroundSegConfig, estimate_ground
+
+            with timer.stage("ground_seg"):
+                seg = estimate_ground(cloud, GroundSegConfig())
+                n_ground = int(np.asarray(jnp.sum(seg.ground_mask)))
+                plane = np.asarray(seg.plane)
+                # accept only confident, roughly-horizontal fits
+                if n_ground >= 30 and abs(plane[2]) > 0.8:
+                    floor = plane
         with timer.stage("backend"):
-            slam.add_frame(float(stamp), cloud, pose)
+            slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
             if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
                 slam.optimize()
         n += 1
@@ -216,6 +228,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("slam")
+    s.add_argument("--floor", action="store_true",
+                   help="ground-plane floor constraint (EdgeSE3Plane on a world floor vertex)")
     s.add_argument("--dataset", required=True)
     s.add_argument("--output", default="trajectory.tum")
     s.add_argument("--registration", default="apdgicp", choices=["apdgicp", "gicp", "ndt"])

@@ -53,6 +53,12 @@ class SLAMConfig(NamedTuple):
     gps_z_info: float = 4.0
     anchor_info: float = 1e6
     solve: SolveConfig = SolveConfig(max_iterations=30)
+    # floor constraint: keyframe ground-plane observations tied to one world
+    # floor VertexPlane (EdgeSE3Plane; keyframe floor_coeffs, `keyframe.cpp:38`)
+    enable_floor_constraint: bool = False
+    floor_normal_info: float = 100.0
+    floor_distance_info: float = 100.0
+    floor_robust_delta: float = 1.0
 
 
 class GPSMeasurement(NamedTuple):
@@ -76,6 +82,7 @@ class RadarGraphSLAM:
     loops: list = field(default_factory=list)
     _opt_poses: Optional[np.ndarray] = None
     trans_odom2map: np.ndarray = field(default_factory=lambda: np.eye(4))
+    floor_plane: Optional[np.ndarray] = None  # optimized world floor [n, d]
 
     def __post_init__(self):
         if self.updater is None:
@@ -117,7 +124,13 @@ class RadarGraphSLAM:
         return True
 
     # ---- keyframe path (`cloud_handler_callback`, `:626-743`) ------------
-    def add_frame(self, stamp: float, cloud: PointCloud, odom_pose: np.ndarray) -> bool:
+    def add_frame(
+        self,
+        stamp: float,
+        cloud: PointCloud,
+        odom_pose: np.ndarray,
+        floor_coeffs: Optional[np.ndarray] = None,
+    ) -> bool:
         if not self.updater.decide(odom_pose, stamp):
             return False
         kf = KeyFrame(
@@ -126,6 +139,7 @@ class RadarGraphSLAM:
             odom_scan2scan=np.asarray(odom_pose),
             accum_distance=self.updater.accum_distance,
             cloud=cloud,
+            floor_coeffs=None if floor_coeffs is None else np.asarray(floor_coeffs),
         )
         if self.cfg.enable_preintegration and self.keyframes:
             prev = self.keyframes[-1]
@@ -247,8 +261,40 @@ class RadarGraphSLAM:
             )
             g.add_point_prior(k, gps.xyz, info=info3, axes=axes)
 
+        # floor constraint: tie keyframe ground-plane observations to one
+        # world floor plane vertex (EdgeSE3Plane; hdl-heritage floor_coeffs)
+        floored = (
+            [kf for kf in self.keyframes if kf.floor_coeffs is not None]
+            if self.cfg.enable_floor_constraint
+            else []
+        )
+        if floored:
+            from ..graph.factors import transform_plane as _tp
+            from ..graph.solver import optimize_graph_with_planes
+
+            kf0 = floored[0]
+            T0 = kf0.optimized_pose if kf0.optimized_pose is not None else kf0.odom_scan2scan
+            n_b, d_b = kf0.floor_coeffs[:3], kf0.floor_coeffs[3]
+            n_w = T0[:3, :3] @ n_b
+            plane_w = np.concatenate([n_w, [d_b - n_w @ T0[:3, 3]]])
+            j = g.add_plane(plane_w)
+            info3 = np.diag(
+                [self.cfg.floor_normal_info, self.cfg.floor_normal_info,
+                 self.cfg.floor_distance_info]
+            )
+            for kf in floored:
+                g.add_se3_plane(
+                    kf.index, j, kf.floor_coeffs, info3,
+                    robust_delta=self.cfg.floor_robust_delta,
+                )
+
         poses0, graph = g.freeze()
-        res = optimize_graph(poses0, graph, self.cfg.solve)
+        if floored:
+            planes0, pg = g.freeze_planes()
+            res = optimize_graph_with_planes(poses0, planes0, graph, pg, self.cfg.solve)
+            self.floor_plane = np.asarray(res.planes[0])
+        else:
+            res = optimize_graph(poses0, graph, self.cfg.solve)
         opt = np.asarray(res.poses)
         for k, kf in enumerate(self.keyframes):
             kf.optimized_pose = opt[k]
