@@ -75,19 +75,9 @@ def synth_pair(n=69000, seed=0):
 
 def downsample_np(xyz, res=0.1):
     """Host-side 0.1 m voxel centroid downsample (parity `align.cpp:58-70`)."""
-    origin = xyz.min(axis=0) - 1.0
-    key = np.floor((xyz - origin) / res).astype(np.int64)
-    key = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    xyz_s = xyz[order]
-    head = np.concatenate([[True], key_s[1:] != key_s[:-1]])
-    seg = np.cumsum(head) - 1
-    n_seg = seg[-1] + 1
-    sums = np.zeros((n_seg, 3))
-    np.add.at(sums, seg, xyz_s)
-    cnt = np.bincount(seg)
-    return (sums / cnt[:, None]).astype(np.float32)
+    from gorio_tpu.io.pcd import voxel_centroid_downsample
+
+    return voxel_centroid_downsample(xyz, res)
 
 
 def main():

@@ -200,6 +200,57 @@ def cmd_convert(args):
     print(f"converted {n} frames -> {args.output}")
 
 
+def cmd_align(args):
+    """Registration benchmark app: align two PCD scans with every variant and
+    print fitness + timing — parity with `ndt_omp/apps/align.cpp` and
+    `fast_apdgicp/src/align.cpp` (`gicp_align`)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from .core.pointcloud import make_cloud
+    from .io.pcd import read_pcd, voxel_centroid_downsample
+    from .registration import select_registration
+    from .registration.gicp import fitness_score
+
+    def load(path):
+        xyz, _ = read_pcd(path)
+        xyz = xyz[np.all(np.isfinite(xyz), axis=1)]
+        return voxel_centroid_downsample(xyz, res=args.leaf)
+
+    tgt = load(args.target)
+    src = load(args.source)
+    cap = 1 << int(np.ceil(np.log2(max(len(src), len(tgt)))))
+    target = make_cloud(jnp.asarray(tgt), capacity=cap)
+    source = make_cloud(jnp.asarray(src), capacity=cap)
+    print(f"target: {len(tgt)} pts, source: {len(src)} pts (capacity {cap})")
+
+    methods = args.methods.split(",") if args.methods else [
+        "ICP", "GICP", "FAST_GICP", "FAST_APDGICP", "FAST_VGICP",
+        "FAST_VGICP_CUDA", "NDT_OMP", "NDT_CUDA_D2D",
+    ]
+    print(f"{'method':<16} {'fitness':>9} {'first ms':>10} {'warm ms':>9}")
+    for name in methods:
+        kwargs = {}
+        if "NDT" in name:
+            kwargs = dict(resolution=args.ndt_resolution)
+        align = select_registration(name, **kwargs)
+        t0 = time.perf_counter()
+        res = align(source, target)
+        np.asarray(res.T)  # block
+        first = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        for _ in range(args.repeat):
+            res = align(source, target)
+        np.asarray(res.T)
+        warm = (time.perf_counter() - t0) * 1e3 / max(args.repeat, 1)
+        fit, _ = fitness_score(source, target, res.T, max_range=jnp.inf)
+        print(f"{name:<16} {float(fit):>9.6f} {first:>10.2f} {warm:>9.2f}")
+    if args.print_transform:
+        print("final transform (last method):")
+        print(np.array_str(np.asarray(res.T), precision=5, suppress_small=True))
+
+
 def cmd_dump_config(args):
     from .config import GorioConfig, save_config
 
@@ -263,6 +314,16 @@ def main(argv=None):
     s.add_argument("--min-range", type=float, default=0.0)
     s.add_argument("--max-range", type=float, default=float("inf"))
     s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("align")
+    s.add_argument("target")
+    s.add_argument("source")
+    s.add_argument("--leaf", type=float, default=0.1, help="voxel downsample leaf (m)")
+    s.add_argument("--ndt-resolution", type=float, default=2.0)
+    s.add_argument("--methods", default=None, help="comma-separated subset")
+    s.add_argument("--repeat", type=int, default=3)
+    s.add_argument("--print-transform", action="store_true")
+    s.set_defaults(fn=cmd_align)
 
     s = sub.add_parser("dump-config")
     s.add_argument("--output", default="gorio_config.json")

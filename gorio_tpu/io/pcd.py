@@ -57,3 +57,23 @@ def read_pcd(path):
     xyz = data[:, :3]
     inten = data[:, fields.index("intensity")] if "intensity" in fields else None
     return xyz, inten
+
+
+def voxel_centroid_downsample(xyz, res=0.1):
+    """Host-side voxel-centroid downsample (numpy; parity with the reference
+    benchmark apps' `pcl::VoxelGrid` preprocessing, `ndt_omp/apps/align.cpp:
+    58-70`). For on-device downsampling use `core.pointcloud.voxel_downsample`."""
+    xyz = np.asarray(xyz)
+    origin = xyz.min(axis=0) - 1.0
+    key = np.floor((xyz - origin) / res).astype(np.int64)
+    key = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    xyz_s = xyz[order]
+    head = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+    seg = np.cumsum(head) - 1
+    n_seg = seg[-1] + 1
+    sums = np.zeros((n_seg, 3))
+    np.add.at(sums, seg, xyz_s)
+    cnt = np.bincount(seg)
+    return (sums / cnt[:, None]).astype(np.float32)

@@ -1,3 +1,10 @@
+"""Repro for tunneled-TPU dispatch-latency poisoning (see README
+"Measurement discipline" and bench.py): interleaves a hot batched-GICP
+timing probe with graph freeze / logprob / HMC stages to show which host
+sync poisons subsequent dispatch latency on the axon tunnel.
+
+Run: python scripts/diagnose_dispatch_poison.py   (ambient env = TPU)
+"""
 import time, numpy as np, jax, jax.numpy as jnp
 dtype = jnp.float32
 
