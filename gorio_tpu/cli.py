@@ -230,25 +230,31 @@ def cmd_align(args):
         "FAST_VGICP_CUDA", "NDT_OMP", "NDT_CUDA_D2D",
     ]
     print(f"{'method':<16} {'fitness':>9} {'first ms':>10} {'warm ms':>9}")
+    rows = []
     for name in methods:
         kwargs = {}
         if "NDT" in name:
             kwargs = dict(resolution=args.ndt_resolution)
         align = select_registration(name, **kwargs)
+        # time with block_until_ready only: any device->host value pull
+        # (np.asarray/float) permanently degrades tunneled-TPU dispatch
+        # latency (see README "Measurement discipline"); fetch at the end
         t0 = time.perf_counter()
         res = align(source, target)
-        np.asarray(res.T)  # block
+        res.T.block_until_ready()
         first = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
         for _ in range(args.repeat):
             res = align(source, target)
-        np.asarray(res.T)
+        res.T.block_until_ready()
         warm = (time.perf_counter() - t0) * 1e3 / max(args.repeat, 1)
         fit, _ = fitness_score(source, target, res.T, max_range=jnp.inf)
+        rows.append((name, fit, first, warm, res.T))
+    for name, fit, first, warm, _ in rows:
         print(f"{name:<16} {float(fit):>9.6f} {first:>10.2f} {warm:>9.2f}")
     if args.print_transform:
         print("final transform (last method):")
-        print(np.array_str(np.asarray(res.T), precision=5, suppress_small=True))
+        print(np.array_str(np.asarray(rows[-1][4]), precision=5, suppress_small=True))
 
 
 def cmd_dump_config(args):

@@ -306,7 +306,12 @@ class RadarGraphSLAM:
 
     # ---- posterior inference (new capability; BASELINE configs 3-4) ------
     def sample_posterior(
-        self, key, n_chains: int = 4, n_samples: int = 200, method: str = "hmc"
+        self,
+        key,
+        n_chains: int = 4,
+        n_samples: int = 200,
+        method: str = "hmc",
+        window: Optional[int] = None,
     ):
         """Sample the trajectory posterior around the GN solution.
 
@@ -314,6 +319,12 @@ class RadarGraphSLAM:
         `n_chains` HMC chains (vmapped — shard the chain axis over a mesh for
         pod scale) preconditioned by the GN Hessian diagonal, and returns
         (samples (chains, n, 6K), accept_rates, rhat (6K,), laplace_cov).
+
+        `window=w` samples the SLIDING-WINDOW posterior over the last `w`
+        keyframes only: the window's first pose carries a tight anchor at its
+        current (smoothed) estimate — the fixed-lag marginal used for online
+        inference, where the dof count (6w) stays constant as the trajectory
+        grows. Loops with both endpoints inside the window are kept.
         """
         import jax
 
@@ -321,21 +332,32 @@ class RadarGraphSLAM:
         from ..inference.laplace import graph_logprob
         from ..graph.solver import laplace_covariance
 
+        kfs = self.keyframes if window is None else self.keyframes[-window:]
+        base = self.keyframes[0].index if window is None else kfs[0].index
+
         g = PoseGraph()
-        for kf in self.keyframes:
+        for kf in kfs:
             init = kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
             g.add_pose(init)
-        g.add_prior(0, self.keyframes[0].odom_scan2scan, info=np.eye(6) * self.cfg.anchor_info)
-        for k in range(1, len(self.keyframes)):
-            prev, curr = self.keyframes[k - 1], self.keyframes[k]
+        anchor = (
+            kfs[0].odom_scan2scan
+            if kfs[0].optimized_pose is None
+            else kfs[0].optimized_pose
+        )
+        g.add_prior(0, anchor, info=np.eye(6) * self.cfg.anchor_info)
+        for k in range(1, len(kfs)):
+            prev, curr = kfs[k - 1], kfs[k]
             rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
             g.add_between(k - 1, k, rel, info=np.eye(6) * 100.0)
             if curr.trans_integrated is not None:
                 var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
                 g.add_between(k - 1, k, curr.trans_integrated, info=np.diag(1.0 / var))
         for loop in self.loops:
+            i, j = loop.key_old - base, loop.key_new - base
+            if i < 0 or j < 0 or i >= len(kfs) or j >= len(kfs):
+                continue
             g.add_between(
-                loop.key_old, loop.key_new, loop.T_rel,
+                i, j, loop.T_rel,
                 info=loop.information, robust_delta=self.cfg.loop_robust_delta,
             )
         poses0, graph = g.freeze()

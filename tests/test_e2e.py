@@ -146,6 +146,32 @@ def test_posterior_sampling(sequence):
     assert 0.1 < emp / max(lap, 1e-12) < 10.0, (emp, lap)
 
 
+def test_sliding_window_posterior(sequence):
+    """Fixed-lag window posterior (BASELINE config 4: sliding-window HMC):
+    dof count is 6*window regardless of trajectory length, and the window's
+    first pose is pinned by its anchor."""
+    traj, imu, stamps, scans = sequence
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, enable_preintegration=False))
+    for i, t in enumerate(stamps[:12]):
+        R, p = traj.interp_pose(np.array([t]))
+        T = np.eye(4)
+        T[:3, :3] = R[0]
+        T[:3, 3] = p[0]
+        slam.add_frame(float(t), scans[i], T)
+    slam.optimize()
+    w = 5
+    samples, accepts, rhat, cov = slam.sample_posterior(
+        jax.random.PRNGKey(1), n_chains=2, n_samples=120, window=w
+    )
+    assert samples.shape[-1] == 6 * w
+    assert cov.shape == (6 * w, 6 * w)
+    assert float(jnp.mean(accepts)) > 0.3
+    # anchored first pose: its local-coordinate marginal is pinned
+    first = np.asarray(jnp.std(samples[:, 40:, :6]))
+    rest = np.asarray(jnp.std(samples[:, 40:, 6:]))
+    assert first.max() < rest.max()
+
+
 def test_keyframe_save_load_roundtrip(sequence, tmp_path):
     traj, imu, stamps, scans = sequence
     from gorio_tpu.pipeline.keyframes import KeyFrame
