@@ -103,18 +103,31 @@ def cmd_slam(args):
     ds = gn.NativeDataset(frames, capacity=args.capacity)
     n = 0
     for stamp, xyz, inten, dop in ds:
-        cloud = make_cloud(
-            jnp.asarray(xyz), intensity=jnp.asarray(inten), doppler=jnp.asarray(dop),
-            capacity=args.capacity,
-        )
-        key, sub = jax.random.split(key)
-        with timer.stage("ego_velocity"):
-            ego = estimate_ego_velocity(cloud, EgoVelConfig(), key=sub)
-            v = np.asarray(ego.v)
+        if args.fused:
+            # single-dispatch frontend: pack once, one program, one pull
+            packed = np.zeros((args.capacity, 5), np.float32)
+            n_pts = min(len(xyz), args.capacity)
+            packed[:n_pts, :3] = xyz[:n_pts]
+            packed[:n_pts, 3] = inten[:n_pts]
+            packed[:n_pts, 4] = dop[:n_pts]
+            with timer.stage("frontend_fused"):
+                pose, v = odo.step_fused(float(stamp), packed, n_pts)
             if online_twists:
                 slam.push_twist(float(stamp), v)
-        with timer.stage("scan_matching"):
-            pose = odo.step(float(stamp), cloud, v)
+            cloud = odo.last_cloud  # device-resident, built inside the program
+        else:
+            cloud = make_cloud(
+                jnp.asarray(xyz), intensity=jnp.asarray(inten), doppler=jnp.asarray(dop),
+                capacity=args.capacity,
+            )
+            key, sub = jax.random.split(key)
+            with timer.stage("ego_velocity"):
+                ego = estimate_ego_velocity(cloud, EgoVelConfig(), key=sub)
+                v = np.asarray(ego.v)
+                if online_twists:
+                    slam.push_twist(float(stamp), v)
+            with timer.stage("scan_matching"):
+                pose = odo.step(float(stamp), cloud, v)
         floor = None
         if args.floor:
             from .estimators.groundseg import GroundSegConfig, estimate_ground
@@ -287,6 +300,8 @@ def main(argv=None):
     s = sub.add_parser("slam")
     s.add_argument("--floor", action="store_true",
                    help="ground-plane floor constraint (EdgeSE3Plane on a world floor vertex)")
+    s.add_argument("--fused", action="store_true",
+                   help="single-dispatch fused frontend (ego-vel + align in one device program)")
     s.add_argument("--dataset", required=True)
     s.add_argument("--output", default="trajectory.tum")
     s.add_argument("--registration", default="apdgicp", choices=["apdgicp", "gicp", "ndt"])

@@ -14,12 +14,15 @@ inherently serial — SURVEY.md §7 "hard parts").
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.pointcloud import PointCloud
+from ..estimators.egovel import EgoVelConfig, estimate_ego_velocity
 from ..registration.gicp import GICPConfig, gicp_align, prepare_gicp, make_gicp_callbacks
 from ..registration.lsq import lm_optimize
 from ..registration.ndt import NDTConfig, ndt_align
@@ -43,6 +46,7 @@ class OdometryConfig(NamedTuple):
     registration: str = "apdgicp"  # "apdgicp" | "gicp" | "ndt"
     gicp: GICPConfig = GICPConfig()
     ndt: NDTConfig = NDTConfig()
+    egovel: EgoVelConfig = EgoVelConfig()  # used by the fused frontend
     # scan-to-submap mode (`:602-618`): register against the merged last-N
     # keyframe clouds instead of the single last keyframe
     enable_scan_to_map: bool = False
@@ -78,6 +82,107 @@ def _rpy_to_mat(roll, pitch, yaw):
     Ry = np.array([[cp, 0, sp], [0, 1.0, 0], [-sp, 0, cp]])
     Rx = np.array([[1.0, 0, 0], [0, cr, -sr], [0, sr, cr]])
     return Rz @ Ry @ Rx
+
+
+# ---------------------------------------------------------------------------
+# Fused frontend: ego-velocity + motion guess + registration in ONE device
+# program per frame. The unfused path (`ScanMatchingOdometry.step`) makes
+# ~6-10 host<->device round trips per frame (cloud buffer uploads, the
+# ego-velocity dispatch, scalar pulls); on a tunneled/remote TPU each trip is
+# milliseconds, dominating the sub-millisecond aligns. Here the host uploads
+# ONE packed (capacity, 5) array + ONE small state vector, dispatches ONE
+# program, and pulls T + a 9-float stats vector.
+# ---------------------------------------------------------------------------
+
+
+def _cloud_from_packed(packed, count):
+    """Device-side PointCloud from a packed [x, y, z, intensity, doppler]
+    array + valid count (single upload instead of 5 buffer transfers)."""
+    cap = packed.shape[0]
+    return PointCloud(
+        xyz=packed[:, :3],
+        intensity=packed[:, 3],
+        doppler=packed[:, 4],
+        cluster=jnp.zeros((cap,), jnp.int32),
+        mask=jnp.arange(cap) < count,
+    )
+
+
+class FusedStepOut(NamedTuple):
+    host: jax.Array  # (25,) [T.ravel() (16), converged, error, v(3),
+    # sigma(3), zero_vel] — ONE device->host pull per frame
+    cloud: PointCloud  # the built source cloud (device-resident, reusable
+    # as the next keyframe target with no transfer)
+
+
+@partial(jax.jit, static_argnames=("cfg", "egocfg"))
+def fused_frontend_step(
+    packed,
+    host_state,
+    kf_cloud: PointCloud,
+    cfg: OdometryConfig,
+    egocfg: EgoVelConfig,
+) -> FusedStepOut:
+    """One jitted program: Doppler ego-velocity RANSAC -> cumulative motion
+    guess (`guess = prev_trans * egovel_cum`, `:458-462`) -> scan-to-keyframe
+    registration. `host_state` = [prev_trans.ravel() (16), count, dt, seed,
+    frame_idx] (20,)."""
+    dtype = packed.dtype
+    prev_trans = host_state[:16].reshape(4, 4)
+    count = host_state[16].astype(jnp.int32)
+    dt = host_state[17]
+    seed = host_state[18].astype(jnp.uint32)
+    idx = host_state[19].astype(jnp.uint32)
+    cloud = _cloud_from_packed(packed, count)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
+    ego = estimate_ego_velocity(cloud, egocfg, key=key)
+    step_T = jnp.eye(4, dtype=dtype).at[:3, 3].set(ego.v.astype(dtype) * dt)
+    # guard (`:364`): runaway cumulative motion falls back to identity
+    cum_ok = jnp.linalg.norm(step_T[:3, 3]) <= cfg.max_egovel_cum
+    egovel_cum = jnp.where(cum_ok, step_T, jnp.eye(4, dtype=dtype))
+    guess = prev_trans @ egovel_cum
+
+    if cfg.registration == "ndt":
+        res = ndt_align(cloud, kf_cloud, init_T=guess, cfg=cfg.ndt)
+    else:
+        res = gicp_align(
+            cloud, kf_cloud, init_T=guess, cfg=cfg.gicp._replace(mode=cfg.registration)
+        )
+    host = jnp.concatenate(
+        [
+            res.T.reshape(-1).astype(dtype),
+            res.converged.astype(dtype)[None],
+            res.error.astype(dtype)[None],
+            ego.v.astype(dtype),
+            ego.sigma.astype(dtype),
+            ego.zero_velocity.astype(dtype)[None],
+        ]
+    )
+    return FusedStepOut(host=host, cloud=cloud)
+
+
+@partial(jax.jit, static_argnames=("egocfg",))
+def fused_ingest(packed, host_state, egocfg: EgoVelConfig) -> FusedStepOut:
+    """First-frame path: build the cloud + ego-velocity only (no target yet)."""
+    dtype = packed.dtype
+    count = host_state[16].astype(jnp.int32)
+    seed = host_state[18].astype(jnp.uint32)
+    idx = host_state[19].astype(jnp.uint32)
+    cloud = _cloud_from_packed(packed, count)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
+    ego = estimate_ego_velocity(cloud, egocfg, key=key)
+    host = jnp.concatenate(
+        [
+            jnp.eye(4, dtype=dtype).reshape(-1),
+            jnp.ones(1, dtype),
+            jnp.zeros(1, dtype),
+            ego.v.astype(dtype),
+            ego.sigma.astype(dtype),
+            ego.zero_velocity.astype(dtype)[None],
+        ]
+    )
+    return FusedStepOut(host=host, cloud=cloud)
 
 
 class OdometryStatus(NamedTuple):
@@ -185,6 +290,95 @@ class ScanMatchingOdometry:
             return ndt_align(source, target, init_T=jnp.asarray(guess), cfg=self.cfg.ndt)
         cfg = self.cfg.gicp._replace(mode=self.cfg.registration)
         return gicp_align(source, target, init_T=jnp.asarray(guess), cfg=cfg)
+
+    def step_fused(self, stamp: float, packed: np.ndarray, count: int, seed: int = 0):
+        """Single-dispatch frontend step (see `fused_frontend_step`).
+
+        `packed` is the (capacity, 5) [x, y, z, intensity, doppler] frame
+        (padding rows arbitrary). Returns (pose (4,4), ego_v (3,)). The same
+        sanity gates / keyframe refresh as `step` run host-side on the pulled
+        T + stats; the keyframe target swap reuses the device-resident cloud
+        returned by the program (no re-upload). Scan-to-submap mode is not
+        fused — use `step` for that."""
+        self._frame_idx = getattr(self, "_frame_idx", -1) + 1
+        state = np.zeros(20, packed.dtype)
+        state[:16] = self.prev_trans_s2s.ravel()
+        state[16] = count
+        state[17] = 0.0 if self.last_stamp is None else stamp - self.last_stamp
+        state[18] = seed
+        state[19] = self._frame_idx
+        packed_dev = jnp.asarray(packed)
+        state_dev = jnp.asarray(state)
+
+        if self.keyframe_cloud is None:
+            out = fused_ingest(packed_dev, state_dev, self.cfg.egovel)
+            host = np.asarray(out.host)
+            self.keyframe_cloud = out.cloud
+            self.last_cloud = out.cloud
+            self.keyframe_stamp = stamp
+            self.last_stamp = stamp
+            return self.odom.copy(), host[18:21]
+
+        self.last_stamp = stamp
+        out = fused_frontend_step(
+            packed_dev, state_dev, self.keyframe_cloud, self.cfg, self.cfg.egovel
+        )
+        self.last_cloud = out.cloud
+        host = np.asarray(out.host)  # the single per-frame device->host pull
+        T = host[:16].reshape(4, 4).astype(np.float64)
+        converged = host[16] > 0.5
+        v = host[18:21]
+
+        delta = np.linalg.inv(self.prev_trans_s2s) @ T
+        dx = float(np.linalg.norm(delta[:3, 3]))
+        da = _rot_angle(delta[:3, :3])
+        dt = state[17]
+        step_T = np.eye(4)
+        step_T[:3, 3] = v * dt
+        if np.linalg.norm(step_T[:3, 3]) > self.cfg.max_egovel_cum:
+            step_T = np.eye(4)
+        pred = self.prev_trans_s2s @ step_T
+        diff = np.linalg.inv(pred) @ T
+        ddx = float(np.linalg.norm(diff[:3, 3]))
+        dda = _rot_angle(diff[:3, :3])
+        used_prediction = False
+        if (
+            not converged
+            or dx > self.cfg.max_acceptable_trans
+            or da > self.cfg.max_acceptable_angle
+            or ddx > self.cfg.max_diff_trans
+            or dda > self.cfg.max_diff_angle
+        ):
+            T = pred
+            used_prediction = True
+
+        self.statuses.append(
+            OdometryStatus(
+                converged=bool(converged),
+                matching_error=float(host[17]),
+                relative_pose=delta,
+                prediction_error=diff,
+                used_prediction=used_prediction,
+            )
+        )
+        self.prev_trans_s2s = T
+        self.odom = self.keyframe_pose @ T
+
+        ddx_kf = float(np.linalg.norm(T[:3, 3]))
+        dda_kf = _rot_angle(T[:3, :3])
+        ddt_kf = stamp - self.keyframe_stamp
+        if (
+            ddx_kf > self.cfg.keyframe_delta_trans
+            or dda_kf > self.cfg.keyframe_delta_angle
+            or ddt_kf > self.cfg.keyframe_delta_time
+        ):
+            if self.cfg.enable_imu_fusion:
+                self.odom = self._transform_update(self.odom, stamp)
+            self.keyframe_pose = self.odom.copy()
+            self.keyframe_stamp = stamp
+            self.prev_trans_s2s = np.eye(4)
+            self.keyframe_cloud = out.cloud  # device-resident, no transfer
+        return self.odom.copy(), v
 
     def step(self, stamp: float, cloud: PointCloud, ego_vel: np.ndarray) -> np.ndarray:
         """Process one frame; returns the 4x4 odometry pose (map<-body)."""

@@ -33,6 +33,40 @@ from ..preintegration.ugpm import UGPMConfig, ugpm_preintegrate
 from .keyframes import KeyFrame, KeyframeUpdater
 
 
+def _preint_packed(gyr_pack, vel_pack, meta, mode: str, grid_n: int, ugpm_cfg):
+    """Transfer-minimal preintegration dispatch: 3 uploads (packed gyro,
+    packed vel, meta [t0, t1, gyr_var, vel_var]) and ONE 48-float pull
+    [dR.ravel(9), dp(3), cov.ravel(36)] instead of ~8 round trips — on a
+    tunneled/remote TPU each trip costs milliseconds (see bench.py)."""
+    if mode == "ugpm":
+        meas = ugpm_preintegrate(
+            gyr_pack[:, 0], gyr_pack[:, 1:], vel_pack[:, 0], vel_pack[:, 1:],
+            meta[0], meta[1:2], meta[2], meta[3], ugpm_cfg,
+        )
+    else:
+        meas = lpm_preintegrate(
+            gyr_pack[:, 0], gyr_pack[:, 1:], vel_pack[:, 0], vel_pack[:, 1:],
+            meta[0], meta[1:2], meta[2], meta[3], grid_n=grid_n,
+        )
+    return jnp.concatenate(
+        [meas.delta_R[0].reshape(-1), meas.delta_p[0], meas.cov[0].reshape(-1)]
+    )
+
+
+_preint_packed_jit = None
+
+
+def _get_preint_packed():
+    global _preint_packed_jit
+    if _preint_packed_jit is None:
+        import jax
+
+        _preint_packed_jit = jax.jit(
+            _preint_packed, static_argnames=("mode", "grid_n", "ugpm_cfg")
+        )
+    return _preint_packed_jit
+
+
 class SLAMConfig(NamedTuple):
     keyframe_delta_trans: float = 0.25
     keyframe_delta_angle: float = 0.15
@@ -182,21 +216,19 @@ class RadarGraphSLAM:
             vt = np.concatenate([vt, vt[-1] + 1e-3 * (1 + np.arange(rep))])
             vd = np.concatenate([vd, np.repeat(vd[-1:], rep, axis=0)])
 
-        if self.cfg.preint_mode == "ugpm":
-            meas = ugpm_preintegrate(
-                jnp.asarray(gt), jnp.asarray(gd), jnp.asarray(vt), jnp.asarray(vd),
-                t0, jnp.asarray([t1]), self.cfg.gyr_var, self.cfg.vel_var, self.cfg.ugpm,
+        gyr_pack = np.concatenate([gt[:, None], gd], axis=1)
+        vel_pack = np.concatenate([vt[:, None], vd], axis=1)
+        meta = np.asarray([t0, t1, self.cfg.gyr_var, self.cfg.vel_var])
+        out = np.asarray(
+            _get_preint_packed()(
+                jnp.asarray(gyr_pack), jnp.asarray(vel_pack), jnp.asarray(meta),
+                self.cfg.preint_mode, self.cfg.preint_grid_n, self.cfg.ugpm,
             )
-        else:
-            meas = lpm_preintegrate(
-                jnp.asarray(gt), jnp.asarray(gd), jnp.asarray(vt), jnp.asarray(vd),
-                t0, jnp.asarray([t1]), self.cfg.gyr_var, self.cfg.vel_var,
-                grid_n=self.cfg.preint_grid_n,
-            )
+        )
         T = np.eye(4)
-        T[:3, :3] = np.asarray(meas.delta_R[0])
-        T[:3, 3] = np.asarray(meas.delta_p[0])
-        return T, np.asarray(meas.cov[0])
+        T[:3, :3] = out[:9].reshape(3, 3)
+        T[:3, 3] = out[9:12]
+        return T, out[12:48].reshape(6, 6)
 
     # ---- optimization cycle (`optimization_timer_callback`, `:750-834`) --
     def optimize(self) -> Optional[np.ndarray]:

@@ -146,6 +146,41 @@ def test_posterior_sampling(sequence):
     assert 0.1 < emp / max(lap, 1e-12) < 10.0, (emp, lap)
 
 
+def test_fused_frontend_matches_unfused(sequence):
+    """The single-dispatch fused frontend (`step_fused`) tracks the same
+    trajectory as the unfused ego-vel + `step` path (same gates, same
+    registration; RANSAC keys differ so poses agree to odometry noise)."""
+    traj, imu, stamps, scans = sequence
+
+    odo_a = ScanMatchingOdometry(OdometryConfig())
+    odo_b = ScanMatchingOdometry(OdometryConfig())
+    key = jax.random.PRNGKey(0)
+    n = 12
+    poses_a, poses_b = [], []
+    for i, (t, cloud) in enumerate(zip(stamps[:n], scans[:n])):
+        key, sub = jax.random.split(key)
+        ego = estimate_ego_velocity(cloud, EgoVelConfig(), key=sub)
+        poses_a.append(odo_a.step(float(t), cloud, np.asarray(ego.v)))
+
+        cap = cloud.capacity
+        packed = np.zeros((cap, 5), np.float32)
+        m = np.asarray(cloud.mask)
+        cnt = int(m.sum())
+        xyz = np.asarray(cloud.xyz)[m]
+        packed[:cnt, :3] = xyz
+        packed[:cnt, 3] = np.asarray(cloud.intensity)[m]
+        packed[:cnt, 4] = np.asarray(cloud.doppler)[m]
+        pose_b, v = odo_b.step_fused(float(t), packed, cnt)
+        poses_b.append(pose_b)
+        assert np.all(np.isfinite(v))
+    pa, pb = np.stack(poses_a), np.stack(poses_b)
+    # both tracks stay within odometry noise of each other
+    err = np.linalg.norm(pa[:, :3, 3] - pb[:, :3, 3], axis=-1)
+    assert err.max() < 0.15, err
+    # and the fused cloud is device-resident and mask-correct
+    assert int(np.asarray(odo_b.last_cloud.mask).sum()) == cnt
+
+
 def test_sliding_window_posterior(sequence):
     """Fixed-lag window posterior (BASELINE config 4: sliding-window HMC):
     dof count is 6*window regardless of trajectory length, and the window's
