@@ -81,6 +81,10 @@ def downsample_np(xyz, res=0.1):
 
 
 def main():
+    from gorio_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()  # warm-start repeat runs (remote TPU compiles are slow)
+
     import jax
     import jax.numpy as jnp
 

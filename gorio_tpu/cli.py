@@ -111,10 +111,19 @@ def cmd_slam(args):
             packed[:n_pts, 3] = inten[:n_pts]
             packed[:n_pts, 4] = dop[:n_pts]
             with timer.stage("frontend_fused"):
-                pose, v = odo.step_fused(float(stamp), packed, n_pts)
+                pose, v = odo.step_fused(float(stamp), packed, n_pts, ground=args.floor)
             if online_twists:
                 slam.push_twist(float(stamp), v)
             cloud = odo.last_cloud  # device-resident, built inside the program
+            floor = None
+            if args.floor and odo.last_ground_count >= 30 and abs(odo.last_plane[2]) > 0.8:
+                floor = odo.last_plane
+            with timer.stage("backend"):
+                slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
+            if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
+                slam.optimize()
+            n += 1
+            continue
         else:
             cloud = make_cloud(
                 jnp.asarray(xyz), intensity=jnp.asarray(inten), doppler=jnp.asarray(dop),
@@ -284,7 +293,30 @@ def cmd_bench(args):
     runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"), run_name="__main__")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: TPU compiles of the bigger programs
+    (graph solve, fused frontend) take tens of seconds remotely; caching makes
+    every CLI invocation after the first start warm. Opt out with
+    GORIO_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("GORIO_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = os.environ.get(
+        "GORIO_COMPILE_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "gorio_tpu_jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="gorio_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..core.pointcloud import PointCloud
 from ..estimators.egovel import EgoVelConfig, estimate_ego_velocity
+from ..estimators.groundseg import GroundSegConfig, estimate_ground
 from ..registration.gicp import GICPConfig, gicp_align, prepare_gicp, make_gicp_callbacks
 from ..registration.lsq import lm_optimize
 from ..registration.ndt import NDTConfig, ndt_align
@@ -47,6 +48,7 @@ class OdometryConfig(NamedTuple):
     gicp: GICPConfig = GICPConfig()
     ndt: NDTConfig = NDTConfig()
     egovel: EgoVelConfig = EgoVelConfig()  # used by the fused frontend
+    groundseg: GroundSegConfig = GroundSegConfig()  # fused ground/floor seg
     # scan-to-submap mode (`:602-618`): register against the merged last-N
     # keyframe clouds instead of the single last keyframe
     enable_scan_to_map: bool = False
@@ -110,18 +112,20 @@ def _cloud_from_packed(packed, count):
 
 class FusedStepOut(NamedTuple):
     host: jax.Array  # (25,) [T.ravel() (16), converged, error, v(3),
-    # sigma(3), zero_vel] — ONE device->host pull per frame
+    # sigma(3), zero_vel]; with ground seg fused in, (30,) with
+    # [n_ground, plane(4)] appended — ONE device->host pull per frame
     cloud: PointCloud  # the built source cloud (device-resident, reusable
     # as the next keyframe target with no transfer)
 
 
-@partial(jax.jit, static_argnames=("cfg", "egocfg"))
+@partial(jax.jit, static_argnames=("cfg", "egocfg", "gscfg"))
 def fused_frontend_step(
     packed,
     host_state,
     kf_cloud: PointCloud,
     cfg: OdometryConfig,
     egocfg: EgoVelConfig,
+    gscfg: Optional[GroundSegConfig] = None,
 ) -> FusedStepOut:
     """One jitted program: Doppler ego-velocity RANSAC -> cumulative motion
     guess (`guess = prev_trans * egovel_cum`, `:458-462`) -> scan-to-keyframe
@@ -149,21 +153,24 @@ def fused_frontend_step(
         res = gicp_align(
             cloud, kf_cloud, init_T=guess, cfg=cfg.gicp._replace(mode=cfg.registration)
         )
-    host = jnp.concatenate(
-        [
-            res.T.reshape(-1).astype(dtype),
-            res.converged.astype(dtype)[None],
-            res.error.astype(dtype)[None],
-            ego.v.astype(dtype),
-            ego.sigma.astype(dtype),
-            ego.zero_velocity.astype(dtype)[None],
-        ]
-    )
-    return FusedStepOut(host=host, cloud=cloud)
+    parts = [
+        res.T.reshape(-1).astype(dtype),
+        res.converged.astype(dtype)[None],
+        res.error.astype(dtype)[None],
+        ego.v.astype(dtype),
+        ego.sigma.astype(dtype),
+        ego.zero_velocity.astype(dtype)[None],
+    ]
+    if gscfg is not None:
+        seg = estimate_ground(cloud, gscfg)
+        parts += [jnp.sum(seg.ground_mask).astype(dtype)[None], seg.plane.astype(dtype)]
+    return FusedStepOut(host=jnp.concatenate(parts), cloud=cloud)
 
 
-@partial(jax.jit, static_argnames=("egocfg",))
-def fused_ingest(packed, host_state, egocfg: EgoVelConfig) -> FusedStepOut:
+@partial(jax.jit, static_argnames=("egocfg", "gscfg"))
+def fused_ingest(
+    packed, host_state, egocfg: EgoVelConfig, gscfg: Optional[GroundSegConfig] = None
+) -> FusedStepOut:
     """First-frame path: build the cloud + ego-velocity only (no target yet)."""
     dtype = packed.dtype
     count = host_state[16].astype(jnp.int32)
@@ -172,17 +179,18 @@ def fused_ingest(packed, host_state, egocfg: EgoVelConfig) -> FusedStepOut:
     cloud = _cloud_from_packed(packed, count)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
     ego = estimate_ego_velocity(cloud, egocfg, key=key)
-    host = jnp.concatenate(
-        [
-            jnp.eye(4, dtype=dtype).reshape(-1),
-            jnp.ones(1, dtype),
-            jnp.zeros(1, dtype),
-            ego.v.astype(dtype),
-            ego.sigma.astype(dtype),
-            ego.zero_velocity.astype(dtype)[None],
-        ]
-    )
-    return FusedStepOut(host=host, cloud=cloud)
+    parts = [
+        jnp.eye(4, dtype=dtype).reshape(-1),
+        jnp.ones(1, dtype),
+        jnp.zeros(1, dtype),
+        ego.v.astype(dtype),
+        ego.sigma.astype(dtype),
+        ego.zero_velocity.astype(dtype)[None],
+    ]
+    if gscfg is not None:
+        seg = estimate_ground(cloud, gscfg)
+        parts += [jnp.sum(seg.ground_mask).astype(dtype)[None], seg.plane.astype(dtype)]
+    return FusedStepOut(host=jnp.concatenate(parts), cloud=cloud)
 
 
 class OdometryStatus(NamedTuple):
@@ -291,15 +299,24 @@ class ScanMatchingOdometry:
         cfg = self.cfg.gicp._replace(mode=self.cfg.registration)
         return gicp_align(source, target, init_T=jnp.asarray(guess), cfg=cfg)
 
-    def step_fused(self, stamp: float, packed: np.ndarray, count: int, seed: int = 0):
+    def step_fused(
+        self,
+        stamp: float,
+        packed: np.ndarray,
+        count: int,
+        seed: int = 0,
+        ground: bool = False,
+    ):
         """Single-dispatch frontend step (see `fused_frontend_step`).
 
         `packed` is the (capacity, 5) [x, y, z, intensity, doppler] frame
         (padding rows arbitrary). Returns (pose (4,4), ego_v (3,)). The same
         sanity gates / keyframe refresh as `step` run host-side on the pulled
         T + stats; the keyframe target swap reuses the device-resident cloud
-        returned by the program (no re-upload). Scan-to-submap mode is not
-        fused — use `step` for that."""
+        returned by the program (no re-upload). `ground=True` also fuses
+        Patchwork++ ground segmentation into the same program, exposing
+        `last_ground_count` / `last_plane` for the floor constraint.
+        Scan-to-submap mode is not fused — use `step` for that."""
         self._frame_idx = getattr(self, "_frame_idx", -1) + 1
         state = np.zeros(20, packed.dtype)
         state[:16] = self.prev_trans_s2s.ravel()
@@ -310,9 +327,13 @@ class ScanMatchingOdometry:
         packed_dev = jnp.asarray(packed)
         state_dev = jnp.asarray(state)
 
+        gscfg = self.cfg.groundseg if ground else None
         if self.keyframe_cloud is None:
-            out = fused_ingest(packed_dev, state_dev, self.cfg.egovel)
+            out = fused_ingest(packed_dev, state_dev, self.cfg.egovel, gscfg)
             host = np.asarray(out.host)
+            if ground:
+                self.last_ground_count = int(host[25])
+                self.last_plane = host[26:30].astype(np.float64)
             self.keyframe_cloud = out.cloud
             self.last_cloud = out.cloud
             self.keyframe_stamp = stamp
@@ -321,10 +342,13 @@ class ScanMatchingOdometry:
 
         self.last_stamp = stamp
         out = fused_frontend_step(
-            packed_dev, state_dev, self.keyframe_cloud, self.cfg, self.cfg.egovel
+            packed_dev, state_dev, self.keyframe_cloud, self.cfg, self.cfg.egovel, gscfg
         )
         self.last_cloud = out.cloud
         host = np.asarray(out.host)  # the single per-frame device->host pull
+        if ground:
+            self.last_ground_count = int(host[25])
+            self.last_plane = host[26:30].astype(np.float64)
         T = host[:16].reshape(4, 4).astype(np.float64)
         converged = host[16] > 0.5
         v = host[18:21]
