@@ -33,7 +33,7 @@ def cmd_simulate(args):
 
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
-    traj = simulate_trajectory(seed=args.seed, duration=args.duration)
+    traj = simulate_trajectory(seed=args.seed, duration=args.duration, circuit=args.circuit)
     imu = sample_imu(traj, seed=args.seed + 1)
     world = make_world(seed=args.seed + 2, n_landmarks=args.landmarks)
     stamps = np.arange(0.2, args.duration - 0.2, 1.0 / args.rate)
@@ -304,8 +304,13 @@ def _enable_compile_cache():
         return
     import jax
 
+    # scope by platform: entries AOT-compiled by a remote TPU-attached service
+    # (JAX_PLATFORMS=axon runs) embed that machine's CPU features and can
+    # SIGILL if a plain-CPU run loads them
+    platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
     path = os.environ.get(
-        "GORIO_COMPILE_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "gorio_tpu_jax")
+        "GORIO_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "gorio_tpu_jax", platform),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", path)
@@ -321,6 +326,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("simulate")
+    s.add_argument("--circuit", action="store_true",
+                   help="closed-loop trajectory (revisits the start; exercises loop closure)")
     s.add_argument("--output", required=True)
     s.add_argument("--duration", type=float, default=20.0)
     s.add_argument("--rate", type=float, default=5.0)

@@ -57,12 +57,21 @@ def simulate_trajectory(
     omega_amp: float = 0.25,
     vel_amp: float = 1.0,
     forward_speed: float = 2.0,
+    circuit: bool = False,
 ) -> Trajectory:
-    """Smooth random trajectory: integrate body rates/velocities at `rate` Hz."""
+    """Smooth random trajectory: integrate body rates/velocities at `rate` Hz.
+
+    `circuit=True` makes a closed loop (constant yaw rate 2*pi/duration plus
+    small perturbations) returning near the start — the NTU `loop2/loop3`-style
+    revisit scenario for exercising loop closure."""
     rng = np.random.default_rng(seed)
     t = np.arange(0.0, duration + 0.5 / rate, 1.0 / rate)
     omega = _smooth_signal(rng, t, 3, omega_amp)
     v_body = _smooth_signal(rng, t, 3, vel_amp)
+    if circuit:
+        omega *= 0.15
+        omega[:, 2] += 2.0 * np.pi / duration
+        v_body *= 0.3
     v_body[:, 0] += forward_speed
     v_body[:, 2] *= 0.2  # mostly planar, like a ground robot
 

@@ -254,23 +254,25 @@ class RadarGraphSLAM:
                 var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
                 g.add_between(k - 1, k, curr.trans_integrated, info=np.diag(1.0 / var))
 
-        # loop detection on recent keyframes (`:770-779`)
+        # loop detection over every keyframe added since the last cycle
+        # (`new_keyframes` batch in `optimization_timer_callback`, `:770-779`)
         if self.cfg.enable_loop_closure and len(self.keyframes) > 3:
             poses = [
                 kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
                 for kf in self.keyframes
             ]
-            new_kf = self.keyframes[-1]
-            loop = self.loop_detector.detect(
-                new_kf.index,
-                new_kf.cloud,
-                [kf.cloud for kf in self.keyframes],
-                np.stack(poses),
-                np.stack([kf.odom_scan2scan for kf in self.keyframes]),
-                np.asarray([kf.accum_distance for kf in self.keyframes]),
-            )
-            if loop is not None:
-                self.loops.append(loop)
+            poses_arr = np.stack(poses)
+            odom_arr = np.stack([kf.odom_scan2scan for kf in self.keyframes])
+            accum_arr = np.asarray([kf.accum_distance for kf in self.keyframes])
+            clouds = [kf.cloud for kf in self.keyframes]
+            start = getattr(self, "_loop_checked_upto", 0)
+            for new_kf in self.keyframes[start:]:
+                loop = self.loop_detector.detect(
+                    new_kf.index, new_kf.cloud, clouds, poses_arr, odom_arr, accum_arr
+                )
+                if loop is not None:
+                    self.loops.append(loop)
+            self._loop_checked_upto = len(self.keyframes)
         for loop in self.loops:
             # edge old->new measuring old_T_new = T_rel (`addLoopFactor`)
             g.add_between(
