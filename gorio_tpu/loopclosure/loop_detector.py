@@ -55,6 +55,31 @@ class Loop(NamedTuple):
     fitness: float
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _sc_match_batch(db: "ScanContextDB", idxs, cfg: ScanContextConfig):
+    """vmapped `detect_loop`: keyframe i may only match descriptors < i."""
+
+    def one(i):
+        return detect_loop(db._replace(count=i.astype(jnp.int32)), db.descs[i], cfg)
+
+    return jax.vmap(one)(idxs)
+
+
+@partial(jax.jit, static_argnames=("gicp_cfg", "info_cfg"))
+def _verify_batch(src, tgt, gicp_cfg: GICPConfig, info_cfg: InformationConfig):
+    """vmapped loop verification: registration + information-from-fitness."""
+
+    def verify(s, t):
+        res = gicp_align(s, t, cfg=gicp_cfg)
+        info, fitness = calc_information_matrix(s, t, res.T, info_cfg)
+        return res.T, res.converged, info, fitness
+
+    return jax.vmap(verify)(src, tgt)
+
+
 def candidate_mask(
     new_pos,
     new_yaw,
@@ -217,3 +242,128 @@ class LoopDetector:
         self.loops.append(loop)
         self.last_loop_accum = float(new_accum)
         return loop
+
+    def detect_batch(
+        self,
+        new_indices,
+        keyframe_clouds,
+        keyframe_poses,
+        keyframe_odoms,
+        keyframe_accum,
+    ) -> list:
+        """Batched `detect` over many new keyframes: ONE vmapped Scan-Context
+        matching dispatch for the whole batch, ONE vmapped registration +
+        information dispatch for the gate survivors, then the inherently
+        sequential accept chain (loop-interval spacing, odometry check,
+        pairwise consistency — each depends on previously accepted loops) on
+        the host. Orders of magnitude fewer device round trips than calling
+        `detect` per keyframe (the reference verifies loops serially,
+        `loop_detector.cpp:192-244`)."""
+        if len(new_indices) == 0:
+            return []
+        cfg = self.cfg
+        poses = np.asarray(keyframe_poses)
+        odoms = np.asarray(keyframe_odoms)
+        accum = np.asarray(keyframe_accum)
+        idxs = np.asarray(new_indices, np.int32)
+
+        # ---- stage 1: SC matching for all new keyframes (one dispatch).
+        # Pad the batch to a power of two so batch-size changes don't recompile
+        n_new = len(idxs)
+        pad_n = max(4, 1 << (n_new - 1).bit_length())
+        idxs_p = np.concatenate([idxs, np.full(pad_n - n_new, idxs[-1], np.int32)])
+        matches, yaws, dists = _sc_match_batch(self.db, jnp.asarray(idxs_p), self.sc_cfg)
+        matches = np.asarray(matches)[:n_new]
+
+        # ---- stage 2: host prefilter before the expensive verification.
+        # Both gates are safe w.r.t. in-batch accepts: last_loop_accum only
+        # grows, so (a) dist_since computed at batch start upper-bounds the
+        # true value -> the interval gate is exact-reject, and (b) the
+        # drift-ellipse radius grows with dist_since -> gating with the
+        # batch-start value is a superset of the exact gate (which the accept
+        # chain re-runs). Mirrors `find_candidates` (`loop_detector.cpp:139`).
+        yaw_all = np.arctan2(poses[:, 1, 0], poses[:, 0, 0])
+        pairs = []
+        for i, m in zip(idxs, matches):
+            i, m = int(i), int(m)
+            if m < 0:
+                continue
+            new_accum = accum[i]
+            dist_since0 = new_accum - self.last_loop_accum
+            if dist_since0 < cfg.min_loop_interval_dist:
+                continue
+            if new_accum - accum[m] <= cfg.accum_distance_thresh:
+                continue
+            yaw_diff = abs((yaw_all[i] - yaw_all[m] + np.pi) % (2 * np.pi) - np.pi)
+            if np.rad2deg(yaw_diff) >= cfg.max_yaw_difference_deg:
+                continue
+            diff = poses[i][:3, 3] - poses[m][:3, 3]
+            rad_lle = 3.0 + dist_since0 * cfg.odom_drift_xy * cfg.drift_scale_xy
+            if (diff[0] / rad_lle) ** 2 + (diff[1] / rad_lle) ** 2 > 1.0:
+                continue
+            pairs.append((i, m))
+        if not pairs:
+            return []
+
+        # ---- stage 3: batched verification (one dispatch), pow2-padded -----
+        n_pairs = len(pairs)
+        pad_p = max(2, 1 << (n_pairs - 1).bit_length())
+        pairs_p = pairs + [pairs[0]] * (pad_p - n_pairs)
+
+        def stack_clouds(ids):
+            return jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[keyframe_clouds[k] for k in ids]
+            )
+
+        src = stack_clouds([i for i, _ in pairs_p])
+        tgt = stack_clouds([m for _, m in pairs_p])
+        Ts, conv, infos, fits = _verify_batch(src, tgt, self.gicp_cfg, self.info_cfg)
+        Ts = np.asarray(Ts)[:n_pairs]
+        conv = np.asarray(conv)[:n_pairs]
+        infos = np.asarray(infos)[:n_pairs]
+        fits = np.asarray(fits)[:n_pairs]
+
+        # ---- stage 4: sequential accept chain (host) -----------------------
+        accepted = []
+        for n, (i, m) in enumerate(pairs):
+            if not bool(conv[n]) or float(fits[n]) > cfg.fitness_thresh:
+                continue
+            new_accum = accum[i]
+            dist_since = new_accum - self.last_loop_accum
+            if dist_since < cfg.min_loop_interval_dist:
+                continue
+            yaw_new = float(np.asarray(lie.mat_to_ypr(jnp.asarray(poses[i][:3, :3]))[0]))
+            yaw_old = float(np.asarray(lie.mat_to_ypr(jnp.asarray(poses[m][:3, :3]))[0]))
+            ok = candidate_mask(
+                jnp.asarray(poses[i][:3, 3]),
+                jnp.asarray(yaw_new),
+                jnp.asarray(new_accum),
+                jnp.asarray(poses[m][:3, 3])[None, :],
+                jnp.asarray([yaw_old]),
+                jnp.asarray([accum[m]]),
+                dist_since,
+                cfg,
+            )
+            if not bool(ok[0]):
+                continue
+            T_rel = Ts[n]
+            if cfg.enable_odom_check and not odometry_check(
+                np.linalg.inv(T_rel), odoms[i], odoms[m], i, m, cfg
+            ):
+                continue
+            if self.loops:
+                prev = self.loops[-1]
+                odom_li = np.linalg.inv(odoms[m]) @ odoms[prev.key_new]
+                odom_jk = np.linalg.inv(odoms[prev.key_old]) @ odoms[i]
+                if not pairwise_consistency_check(
+                    np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg
+                ):
+                    continue
+            loop = Loop(
+                key_new=i, key_old=m, T_rel=T_rel,
+                information=infos[n], fitness=float(fits[n]),
+            )
+            self.loops.append(loop)
+            self.last_loop_accum = float(new_accum)
+            accepted.append(loop)
+        return accepted

@@ -266,12 +266,12 @@ class RadarGraphSLAM:
             accum_arr = np.asarray([kf.accum_distance for kf in self.keyframes])
             clouds = [kf.cloud for kf in self.keyframes]
             start = getattr(self, "_loop_checked_upto", 0)
-            for new_kf in self.keyframes[start:]:
-                loop = self.loop_detector.detect(
-                    new_kf.index, new_kf.cloud, clouds, poses_arr, odom_arr, accum_arr
+            new_idx = [kf.index for kf in self.keyframes[start:]]
+            self.loops.extend(
+                self.loop_detector.detect_batch(
+                    new_idx, clouds, poses_arr, odom_arr, accum_arr
                 )
-                if loop is not None:
-                    self.loops.append(loop)
+            )
             self._loop_checked_upto = len(self.keyframes)
         for loop in self.loops:
             # edge old->new measuring old_T_new = T_rel (`addLoopFactor`)
