@@ -116,7 +116,10 @@ def cmd_slam(args):
                 slam.push_twist(float(stamp), v)
             cloud = odo.last_cloud  # device-resident, built inside the program
             floor = None
-            if args.floor and odo.last_ground_count >= 30 and abs(odo.last_plane[2]) > 0.8:
+            if args.floor and (
+                odo.last_ground_count >= slam.cfg.floor_min_ground_points
+                and abs(odo.last_plane[2]) > slam.cfg.floor_max_tilt_nz
+            ):
                 floor = odo.last_plane
             with timer.stage("backend"):
                 slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
@@ -146,7 +149,8 @@ def cmd_slam(args):
                 n_ground = int(np.asarray(jnp.sum(seg.ground_mask)))
                 plane = np.asarray(seg.plane)
                 # accept only confident, roughly-horizontal fits
-                if n_ground >= 30 and abs(plane[2]) > 0.8:
+                if (n_ground >= slam.cfg.floor_min_ground_points
+                        and abs(plane[2]) > slam.cfg.floor_max_tilt_nz):
                     floor = plane
         with timer.stage("backend"):
             slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
@@ -270,8 +274,14 @@ def cmd_align(args):
             res = align(source, target)
         res.T.block_until_ready()
         warm = (time.perf_counter() - t0) * 1e3 / max(args.repeat, 1)
-        fit, _ = fitness_score(source, target, res.T, max_range=jnp.inf)
-        rows.append((name, fit, first, warm, res.T))
+        rows.append((name, first, warm, res.T))
+    # fitness AFTER all timing: its async kNN pass would otherwise still be
+    # draining on the device stream and contaminate the next method's timings
+    out = []
+    for name, first, warm, T in rows:
+        fit, _ = fitness_score(source, target, T, max_range=jnp.inf)
+        out.append((name, fit, first, warm, T))
+    rows = out
     for name, fit, first, warm, _ in rows:
         print(f"{name:<16} {float(fit):>9.6f} {first:>10.2f} {warm:>9.2f}")
     if args.print_transform:

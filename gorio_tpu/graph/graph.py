@@ -159,17 +159,6 @@ class PoseGraph:
              _sqrt_info(info, 3, self.dtype), robust_delta)
         )
 
-    @property
-    def has_plane_extension(self) -> bool:
-        return bool(
-            self.planes
-            or self._plane_priors
-            or self._plane_plane
-            or self._se3_plane
-            or self._z_between
-            or self._utm_align
-        )
-
     def freeze_planes(self, capacity=None, as_numpy=False):
         """Pack the plane-extension factors into `PlaneGraphData` plus the
         (M, 4) plane-vertex array, for `optimize_graph_with_planes`."""
@@ -368,28 +357,38 @@ class PoseGraph:
             def _upper(sq, d):
                 info = sq.T @ sq
                 return " ".join(str(info[r, c]) for r in range(d) for c in range(r, d))
-            for j, nm, dm, sq, rd in self._plane_priors:
+            for ordinal, (j, nm, dm, sq, rd) in enumerate(self._plane_priors):
                 fh.write(
                     f"GORIO_PLANE_PRIOR {K + j} {nm[0]} {nm[1]} {nm[2]} {dm} "
                     + _upper(sq, 4) + "\n"
                 )
-            for i, j, kind, m, sq, rd in self._plane_plane:
+                if math.isfinite(rd):
+                    kernels.append(("GORIO_PLANE_PRIOR", ordinal, rd))
+            for ordinal, (i, j, kind, m, sq, rd) in enumerate(self._plane_plane):
                 fh.write(
                     f"GORIO_PLANE_PLANE {K + i} {K + j} {kind} "
                     f"{m[0]} {m[1]} {m[2]} {m[3]} " + _upper(sq, 4) + "\n"
                 )
-            for i, j, pm, sq, rd in self._se3_plane:
+                if math.isfinite(rd):
+                    kernels.append(("GORIO_PLANE_PLANE", ordinal, rd))
+            for ordinal, (i, j, pm, sq, rd) in enumerate(self._se3_plane):
                 fh.write(
                     f"GORIO_SE3_PLANE {i} {K + j} {pm[0]} {pm[1]} {pm[2]} {pm[3]} "
                     + _upper(sq, 3) + "\n"
                 )
-            for i, j, z, sq, rd in self._z_between:
+                if math.isfinite(rd):
+                    kernels.append(("GORIO_SE3_PLANE", ordinal, rd))
+            for ordinal, (i, j, z, sq, rd) in enumerate(self._z_between):
                 fh.write(f"GORIO_SE3_Z {i} {j} {z} {float(sq[0, 0]) ** 2}\n")
-            for i, pu, pw, sq, rd in self._utm_align:
+                if math.isfinite(rd):
+                    kernels.append(("GORIO_SE3_Z", ordinal, rd))
+            for ordinal, (i, pu, pw, sq, rd) in enumerate(self._utm_align):
                 fh.write(
                     f"GORIO_SE3_GT_UTM {i} {pu[0]} {pu[1]} {pu[2]} "
                     f"{pw[0]} {pw[1]} {pw[2]} " + _upper(sq, 3) + "\n"
                 )
+                if math.isfinite(rd):
+                    kernels.append(("GORIO_SE3_GT_UTM", ordinal, rd))
         if kernels:
             with open(str(path) + ".kernels", "w") as kf:
                 for tag, ordinal, delta in kernels:
@@ -491,29 +490,34 @@ class PoseGraph:
                     nm = np.array(list(map(float, tok[2:5])))
                     dm = float(tok[5])
                     sq = _sqrt_info(_info_from_upper(list(map(float, tok[6:16])), 4), 4, dtype)
-                    raw_plane_priors.append((j, nm, dm, sq, math.inf))
+                    rd = kernels.get(("GORIO_PLANE_PRIOR", len(raw_plane_priors)), math.inf)
+                    raw_plane_priors.append((j, nm, dm, sq, rd))
                 elif tok[0] == "GORIO_PLANE_PLANE":
                     i, j, kind = int(tok[1]), int(tok[2]), int(tok[3])
                     m = np.array(list(map(float, tok[4:8])))
                     sq = _sqrt_info(_info_from_upper(list(map(float, tok[8:18])), 4), 4, dtype)
-                    raw_plane_plane.append((i, j, kind, m, sq, math.inf))
+                    rd = kernels.get(("GORIO_PLANE_PLANE", len(raw_plane_plane)), math.inf)
+                    raw_plane_plane.append((i, j, kind, m, sq, rd))
                 elif tok[0] == "GORIO_SE3_PLANE":
                     i, j = int(tok[1]), int(tok[2])
                     pm = np.array(list(map(float, tok[3:7])))
                     sq = _sqrt_info(_info_from_upper(list(map(float, tok[7:13])), 3), 3, dtype)
-                    raw_se3_plane.append((i, j, pm, sq, math.inf))
+                    rd = kernels.get(("GORIO_SE3_PLANE", len(raw_se3_plane)), math.inf)
+                    raw_se3_plane.append((i, j, pm, sq, rd))
                 elif tok[0] == "GORIO_SE3_Z":
                     i, j = int(tok[1]), int(tok[2])
                     z, info1 = float(tok[3]), float(tok[4])
+                    rd = kernels.get(("GORIO_SE3_Z", len(g._z_between)), math.inf)
                     g._z_between.append(
-                        (i, j, z, np.array([[math.sqrt(info1)]], dtype), math.inf)
+                        (i, j, z, np.array([[math.sqrt(info1)]], dtype), rd)
                     )
                 elif tok[0] == "GORIO_SE3_GT_UTM":
                     i = int(tok[1])
                     pu = np.array(list(map(float, tok[2:5])))
                     pw = np.array(list(map(float, tok[5:8])))
                     sq = _sqrt_info(_info_from_upper(list(map(float, tok[8:14])), 3), 3, dtype)
-                    g._utm_align.append((i, pu, pw, sq, math.inf))
+                    rd = kernels.get(("GORIO_SE3_GT_UTM", len(g._utm_align)), math.inf)
+                    g._utm_align.append((i, pu, pw, sq, rd))
         for k in sorted(verts):
             g.poses.append(verts[k])
         # plane ids were written offset by the pose count; remap to 0-based

@@ -109,15 +109,35 @@ def candidate_mask(
     return ok
 
 
+def _rot_angle_np(R) -> float:
+    return float(np.arccos(np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)))
+
+
+def candidate_gates_np(new_pos, new_yaw, new_accum, old_pos, old_yaw, old_accum,
+                       dist_since_last_loop, cfg: LoopConfig) -> bool:
+    """Scalar numpy twin of `candidate_mask` for the host-side accept chain
+    (no device dispatches; semantics must stay identical)."""
+    accum_d = new_accum - old_accum
+    if accum_d <= cfg.accum_distance_thresh:
+        return False
+    yaw_diff = abs((new_yaw - old_yaw + np.pi) % (2 * np.pi) - np.pi)
+    if np.rad2deg(yaw_diff) >= cfg.max_yaw_difference_deg:
+        return False
+    diff = np.asarray(new_pos) - np.asarray(old_pos)
+    rad_lle = 3.0 + dist_since_last_loop * cfg.odom_drift_xy * cfg.drift_scale_xy
+    if (diff[0] / rad_lle) ** 2 + (diff[1] / rad_lle) ** 2 > 1.0:
+        return False
+    rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
+    return (diff[0] / rad_xy) ** 2 + (diff[1] / rad_xy) ** 2 <= 1.0
+
+
 def odometry_check(T_loop_ij, odom_new, odom_old, idx_new, idx_old, cfg: LoopConfig):
     """Per-edge drift bound (`loop_detector.cpp:249-267`)."""
     T_odom_ji = np.linalg.inv(odom_new) @ odom_old
     T_err = np.asarray(T_loop_ij) @ T_odom_ji
     n = max(idx_new - idx_old, 1)
     trans_err = np.linalg.norm(T_err[:3, 3]) / n
-    rot_err = float(
-        lie.rotation_geodesic_angle(jnp.asarray(T_err[:3, :3]), jnp.eye(3))
-    ) / n
+    rot_err = _rot_angle_np(T_err[:3, :3]) / n
     return trans_err <= cfg.odom_check_trans_thresh and rot_err <= cfg.odom_check_rot_thresh
 
 
@@ -127,7 +147,7 @@ def pairwise_consistency_check(
     """Consistency vs the previous loop (`loop_detector.cpp:270-297`)."""
     T_err = np.asarray(T_loop_ij) @ odom_li @ T_loop_kl_inv @ odom_jk
     trans_err = np.linalg.norm(T_err[:3, 3])
-    rot_err = float(lie.rotation_geodesic_angle(jnp.asarray(T_err[:3, :3]), jnp.eye(3)))
+    rot_err = _rot_angle_np(T_err[:3, :3])
     return (
         trans_err <= cfg.pairwise_check_trans_thresh
         and rot_err <= cfg.pairwise_check_rot_thresh
@@ -288,40 +308,46 @@ class LoopDetector:
             i, m = int(i), int(m)
             if m < 0:
                 continue
-            new_accum = accum[i]
-            dist_since0 = new_accum - self.last_loop_accum
+            dist_since0 = accum[i] - self.last_loop_accum
             if dist_since0 < cfg.min_loop_interval_dist:
                 continue
-            if new_accum - accum[m] <= cfg.accum_distance_thresh:
-                continue
-            yaw_diff = abs((yaw_all[i] - yaw_all[m] + np.pi) % (2 * np.pi) - np.pi)
-            if np.rad2deg(yaw_diff) >= cfg.max_yaw_difference_deg:
-                continue
-            diff = poses[i][:3, 3] - poses[m][:3, 3]
-            rad_lle = 3.0 + dist_since0 * cfg.odom_drift_xy * cfg.drift_scale_xy
-            if (diff[0] / rad_lle) ** 2 + (diff[1] / rad_lle) ** 2 > 1.0:
+            if not candidate_gates_np(
+                poses[i][:3, 3], yaw_all[i], accum[i],
+                poses[m][:3, 3], yaw_all[m], accum[m], dist_since0, cfg,
+            ):
                 continue
             pairs.append((i, m))
         if not pairs:
             return []
 
-        # ---- stage 3: batched verification (one dispatch), pow2-padded -----
-        n_pairs = len(pairs)
-        pad_p = max(2, 1 << (n_pairs - 1).bit_length())
-        pairs_p = pairs + [pairs[0]] * (pad_p - n_pairs)
-
+        # ---- stage 3: batched verification, pow2-padded; pairs are grouped
+        # by (source, target) cloud capacity so heterogeneous-capacity
+        # keyframes batch among themselves instead of crashing jnp.stack
         def stack_clouds(ids):
             return jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[keyframe_clouds[k] for k in ids]
             )
 
-        src = stack_clouds([i for i, _ in pairs_p])
-        tgt = stack_clouds([m for _, m in pairs_p])
-        Ts, conv, infos, fits = _verify_batch(src, tgt, self.gicp_cfg, self.info_cfg)
-        Ts = np.asarray(Ts)[:n_pairs]
-        conv = np.asarray(conv)[:n_pairs]
-        infos = np.asarray(infos)[:n_pairs]
-        fits = np.asarray(fits)[:n_pairs]
+        n_pairs = len(pairs)
+        Ts = np.zeros((n_pairs, 4, 4))
+        conv = np.zeros(n_pairs, bool)
+        infos = np.zeros((n_pairs, 6, 6))
+        fits = np.full(n_pairs, np.inf)
+        groups = {}
+        for n, (i, m) in enumerate(pairs):
+            kcap = (keyframe_clouds[i].capacity, keyframe_clouds[m].capacity)
+            groups.setdefault(kcap, []).append(n)
+        for members in groups.values():
+            gp = [pairs[n] for n in members]
+            pad_p = max(2, 1 << (len(gp) - 1).bit_length())
+            gp_p = gp + [gp[0]] * (pad_p - len(gp))
+            src = stack_clouds([i for i, _ in gp_p])
+            tgt = stack_clouds([m for _, m in gp_p])
+            T_g, c_g, i_g, f_g = _verify_batch(src, tgt, self.gicp_cfg, self.info_cfg)
+            Ts[members] = np.asarray(T_g)[: len(gp)]
+            conv[members] = np.asarray(c_g)[: len(gp)]
+            infos[members] = np.asarray(i_g)[: len(gp)]
+            fits[members] = np.asarray(f_g)[: len(gp)]
 
         # ---- stage 4: sequential accept chain (host) -----------------------
         accepted = []
@@ -332,19 +358,10 @@ class LoopDetector:
             dist_since = new_accum - self.last_loop_accum
             if dist_since < cfg.min_loop_interval_dist:
                 continue
-            yaw_new = float(np.asarray(lie.mat_to_ypr(jnp.asarray(poses[i][:3, :3]))[0]))
-            yaw_old = float(np.asarray(lie.mat_to_ypr(jnp.asarray(poses[m][:3, :3]))[0]))
-            ok = candidate_mask(
-                jnp.asarray(poses[i][:3, 3]),
-                jnp.asarray(yaw_new),
-                jnp.asarray(new_accum),
-                jnp.asarray(poses[m][:3, 3])[None, :],
-                jnp.asarray([yaw_old]),
-                jnp.asarray([accum[m]]),
-                dist_since,
-                cfg,
-            )
-            if not bool(ok[0]):
+            if not candidate_gates_np(
+                poses[i][:3, 3], yaw_all[i], new_accum,
+                poses[m][:3, 3], yaw_all[m], accum[m], dist_since, cfg,
+            ):
                 continue
             T_rel = Ts[n]
             if cfg.enable_odom_check and not odometry_check(

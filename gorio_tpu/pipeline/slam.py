@@ -93,6 +93,9 @@ class SLAMConfig(NamedTuple):
     floor_normal_info: float = 100.0
     floor_distance_info: float = 100.0
     floor_robust_delta: float = 1.0
+    # acceptance gate for per-frame ground-plane fits feeding the constraint
+    floor_min_ground_points: int = 30
+    floor_max_tilt_nz: float = 0.8
 
 
 class GPSMeasurement(NamedTuple):
@@ -303,7 +306,6 @@ class RadarGraphSLAM:
             else []
         )
         if floored:
-            from ..graph.factors import transform_plane as _tp
             from ..graph.solver import optimize_graph_with_planes
 
             kf0 = floored[0]

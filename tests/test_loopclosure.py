@@ -116,3 +116,45 @@ def test_sc_pair_image(tmp_path):
     raw = path.read_bytes()
     assert raw.startswith(b"P5\n40 162\n255\n")
     assert len(raw) == len(b"P5\n40 162\n255\n") + img.size
+
+
+def test_detect_batch_heterogeneous_capacities():
+    """detect_batch must verify loop candidates whose keyframe clouds have
+    DIFFERENT padded capacities (regression: jnp.stack over mixed-capacity
+    PointClouds crashed; pairs are now grouped by capacity)."""
+    import numpy as np
+    from gorio_tpu.core.pointcloud import make_cloud
+    from gorio_tpu.loopclosure.loop_detector import LoopConfig, LoopDetector
+
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(-20, 20, size=(400, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1.5, 2.0, size=400)
+    inten = rng.uniform(1.0, 30.0, size=400).astype(np.float32)
+
+    det = LoopDetector(
+        cfg=LoopConfig(
+            accum_distance_thresh=5.0, min_loop_interval_dist=0.0,
+            enable_odom_check=False,
+        )
+    )
+    K = 13
+    clouds, poses, accums = [], [], []
+    for k in range(K):
+        far = k not in (0, K - 1)
+        offset = np.array([500.0 + 40.0 * k, 0.0, 0.0]) if far else np.zeros(3)
+        # revisit frame uses a different capacity than the original
+        cap = 1024 if k < K - 1 else 2048
+        noise = rng.normal(scale=0.01, size=pts.shape).astype(np.float32) if not far else 0.0
+        xyz = (pts + offset + noise) if not far else rng.uniform(-20, 20, (400, 3)).astype(np.float32) + offset
+        clouds.append(make_cloud(xyz, intensity=inten, capacity=cap))
+        T = np.eye(4)
+        T[:3, 3] = offset
+        poses.append(T)
+        accums.append(10.0 * k)
+        det.add_keyframe(clouds[-1])
+    loops = det.detect_batch(
+        [K - 1], clouds, np.stack(poses), np.stack(poses), np.asarray(accums)
+    )
+    assert len(loops) == 1 and loops[0].key_old == 0
+    # translation between the two revisit scans is near zero
+    assert np.linalg.norm(loops[0].T_rel[:3, 3]) < 0.3

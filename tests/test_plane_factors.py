@@ -250,3 +250,22 @@ def test_plane_plane_switch_residuals_directly():
     pm = transform_plane(T, pw)
     r = SE3PlaneFactors.residual(T, pw, pm)
     np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-10)
+
+
+def test_plane_edge_robust_kernel_roundtrip(tmp_path):
+    """Huber deltas on plane-extension edges survive save/load via the
+    .kernels sidecar (regression: they were silently dropped)."""
+    g = PoseGraph()
+    g.add_pose(np.eye(4))
+    j = g.add_plane([0.0, 0.0, 1.0, 0.5])
+    g.add_se3_plane(0, j, [0.0, 0.0, 1.0, 0.5], 10.0, robust_delta=1.0)
+    g.add_plane_prior_normal(j, [0.0, 0.0, 1.0], 5.0, robust_delta=2.0)
+    g.add_se3_z(0, 0, 0.0, 1.0, robust_delta=0.5)
+    g.add_utm_align(0, [1, 2, 3], [1, 2, 3], 1.0, robust_delta=3.0)
+    path = tmp_path / "graph.g2o"
+    g.save(path)
+    g2 = PoseGraph.load(path)
+    assert g2._se3_plane[0][-1] == 1.0
+    assert g2._plane_priors[0][-1] == 2.0
+    assert g2._z_between[0][-1] == 0.5
+    assert g2._utm_align[0][-1] == 3.0
