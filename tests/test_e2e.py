@@ -240,3 +240,49 @@ def test_marker_export(sequence, tmp_path):
     data = json.loads(path.read_text())
     assert len(data["nodes"]) == len(slam.keyframes)
     assert len(data["edges"]) == len(slam.keyframes) - 1
+
+
+def test_preint_packed_modes(sequence):
+    """The transfer-minimal packed preintegration dispatch matches the direct
+    integrator call for both LPM and UGPM modes."""
+    import jax.numpy as jnp
+    from gorio_tpu.pipeline.slam import _get_preint_packed
+    from gorio_tpu.preintegration.lpm import lpm_preintegrate
+    from gorio_tpu.preintegration.ugpm import UGPMConfig
+
+    traj, imu, stamps, scans = sequence
+    t0, t1 = 1.0, 1.5
+    G, V = 128, 32
+    i_g = int(np.searchsorted(imu.gyr_t, t0 - 0.2))
+    i_v = int(np.searchsorted(imu.vel_t, t0 - 0.2))
+    gt = imu.gyr_t[i_g : i_g + G]
+    gd = imu.gyr[i_g : i_g + G]
+    vt = imu.vel_t[i_v : i_v + V]
+    vd = imu.vel[i_v : i_v + V]
+    meta = np.asarray([t0, t1, 1e-4, 1e-3])
+    gyr_pack = np.concatenate([gt[:, None], gd], axis=1)
+    vel_pack = np.concatenate([vt[:, None], vd], axis=1)
+
+    fn = _get_preint_packed()
+    out_lpm = np.asarray(
+        fn(jnp.asarray(gyr_pack), jnp.asarray(vel_pack), jnp.asarray(meta),
+           "lpm", 256, UGPMConfig())
+    )
+    # direct call for reference
+    meas = lpm_preintegrate(
+        jnp.asarray(gt), jnp.asarray(gd), jnp.asarray(vt), jnp.asarray(vd),
+        t0, jnp.asarray([t1]), 1e-4, 1e-3, grid_n=256,
+    )
+    np.testing.assert_allclose(out_lpm[:9].reshape(3, 3), np.asarray(meas.delta_R[0]), atol=1e-12)
+    np.testing.assert_allclose(out_lpm[9:12], np.asarray(meas.delta_p[0]), atol=1e-12)
+
+    out_ugpm = np.asarray(
+        fn(jnp.asarray(gyr_pack), jnp.asarray(vel_pack), jnp.asarray(meta),
+           "ugpm", 256, UGPMConfig())
+    )
+    assert np.all(np.isfinite(out_ugpm))
+    # UGPM and LPM agree on the preintegrated delta to integrator tolerance
+    np.testing.assert_allclose(out_ugpm[9:12], out_lpm[9:12], atol=0.05)
+    dR = out_ugpm[:9].reshape(3, 3).T @ out_lpm[:9].reshape(3, 3)
+    ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    assert ang < 0.05, ang
