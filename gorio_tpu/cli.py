@@ -79,15 +79,31 @@ def cmd_slam(args):
         sys.exit(f"no .grf frames in {src}")
     imu = np.load(src / "imu.npz")
 
-    slam = RadarGraphSLAM(
-        SLAMConfig(
+    # typed config tree (parity: the YAML/launch param tiers). CLI flags
+    # override the loaded file's corresponding fields.
+    if args.config:
+        from .config import load_config
+
+        tree = load_config(args.config)
+        slam_cfg = tree.slam._replace(
+            enable_loop_closure=not args.no_loops,
+            preint_mode=args.preint,
+            gyr_var=float(imu["gyr_var"]),
+            vel_var=float(imu["vel_var"]),
+            enable_floor_constraint=args.floor or tree.slam.enable_floor_constraint,
+        )
+        odo_cfg = tree.odometry._replace(registration=args.registration)
+    else:
+        slam_cfg = SLAMConfig(
             enable_loop_closure=not args.no_loops,
             preint_mode=args.preint,
             gyr_var=float(imu["gyr_var"]),
             vel_var=float(imu["vel_var"]),
             enable_floor_constraint=args.floor,
         )
-    )
+        odo_cfg = OdometryConfig(registration=args.registration)
+
+    slam = RadarGraphSLAM(slam_cfg)
     for t, g in zip(imu["gyr_t"], imu["gyr"]):
         slam.push_imu(t, g)
     # twist stream: precomputed samples when the dataset ships them, else the
@@ -97,7 +113,7 @@ def cmd_slam(args):
     for t, v in zip(imu["vel_t"], imu["vel"]):
         slam.push_twist(t, v)
 
-    odo = ScanMatchingOdometry(OdometryConfig(registration=args.registration))
+    odo = ScanMatchingOdometry(odo_cfg)
     timer = StageTimer()
     key = jax.random.PRNGKey(0)
     ds = gn.NativeDataset(frames, capacity=args.capacity)
@@ -314,10 +330,14 @@ def _enable_compile_cache():
         return
     import jax
 
-    # scope by platform: entries AOT-compiled by a remote TPU-attached service
-    # (JAX_PLATFORMS=axon runs) embed that machine's CPU features and can
-    # SIGILL if a plain-CPU run loads them
+    # scope by platform AND remote-compile mode: entries AOT-compiled by a
+    # remote compile service (PALLAS_AXON_REMOTE_COMPILE=1, active even for
+    # the CPU backend when the axon sitecustomize is loaded) embed THAT
+    # machine's CPU features and can SIGILL when a locally-compiled process
+    # loads them
     platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        platform += "-remote"
     path = os.environ.get(
         "GORIO_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "gorio_tpu_jax", platform),
@@ -347,6 +367,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("slam")
+    s.add_argument("--config", default=None,
+                   help="YAML/JSON GorioConfig tree (see dump-config); flags override")
     s.add_argument("--floor", action="store_true",
                    help="ground-plane floor constraint (EdgeSE3Plane on a world floor vertex)")
     s.add_argument("--fused", action="store_true",
