@@ -140,7 +140,7 @@ def cmd_slam(args):
             with timer.stage("backend"):
                 slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
             if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
-                slam.optimize()
+                slam.optimize(window=args.optimize_window or None)
             n += 1
             continue
         else:
@@ -171,7 +171,7 @@ def cmd_slam(args):
         with timer.stage("backend"):
             slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
             if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
-                slam.optimize()
+                slam.optimize(window=args.optimize_window or None)
         n += 1
     with timer.stage("final_optimize"):
         slam.optimize()
@@ -371,6 +371,8 @@ def main(argv=None):
                    help="YAML/JSON GorioConfig tree (see dump-config); flags override")
     s.add_argument("--floor", action="store_true",
                    help="ground-plane floor constraint (EdgeSE3Plane on a world floor vertex)")
+    s.add_argument("--optimize-window", type=int, default=0,
+                   help="fixed-lag mode: re-optimize only the last N keyframes per cycle")
     s.add_argument("--fused", action="store_true",
                    help="single-dispatch fused frontend (ego-vel + align in one device program)")
     s.add_argument("--dataset", required=True)

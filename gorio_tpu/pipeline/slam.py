@@ -234,17 +234,34 @@ class RadarGraphSLAM:
         return T, out[12:48].reshape(6, 6)
 
     # ---- optimization cycle (`optimization_timer_callback`, `:750-834`) --
-    def optimize(self) -> Optional[np.ndarray]:
-        if len(self.keyframes) < 2:
-            return None
-        g = PoseGraph()
-        for kf in self.keyframes:
-            init = kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
-            g.add_pose(init)
-        g.add_prior(0, self.keyframes[0].odom_scan2scan, info=np.eye(6) * self.cfg.anchor_info)
+    def optimize(self, window: Optional[int] = None) -> Optional[np.ndarray]:
+        """One graph-optimization cycle.
 
-        for k in range(1, len(self.keyframes)):
-            prev, curr = self.keyframes[k - 1], self.keyframes[k]
+        `window=W` runs FIXED-LAG optimization: only the last W keyframes are
+        variables; the window's first pose is anchored at its current
+        (smoothed) estimate, and loop closures reaching older keyframes enter
+        as priors through the frozen pose. Cost per cycle is O(W^3) regardless
+        of trajectory length — the long-sequence mode the reference handles by
+        queue batching (`max_keyframes_per_update`, `:552`)."""
+        K = len(self.keyframes)
+        if K < 2:
+            return None
+        base = 0 if (window is None or K <= window) else K - window
+        kfs = self.keyframes[base:]
+
+        def est(kf):
+            return kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
+
+        g = PoseGraph()
+        for kf in kfs:
+            g.add_pose(est(kf))
+        # anchor: keyframe 0's odometry for the full graph; the window-edge
+        # pose's current estimate in fixed-lag mode
+        anchor = self.keyframes[0].odom_scan2scan if base == 0 else est(kfs[0])
+        g.add_prior(0, anchor, info=np.eye(6) * self.cfg.anchor_info)
+
+        for k in range(1, len(kfs)):
+            prev, curr = kfs[k - 1], kfs[k]
             rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
             if curr.edge_info is None:
                 info, _ = calc_information_matrix(
@@ -257,37 +274,45 @@ class RadarGraphSLAM:
                 var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
                 g.add_between(k - 1, k, curr.trans_integrated, info=np.diag(1.0 / var))
 
-        # loop detection over every keyframe added since the last cycle
-        # (`new_keyframes` batch in `optimization_timer_callback`, `:770-779`)
-        if self.cfg.enable_loop_closure and len(self.keyframes) > 3:
-            poses = [
-                kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
-                for kf in self.keyframes
-            ]
-            poses_arr = np.stack(poses)
+        # loop detection over every keyframe added since the last cycle,
+        # flushed in chunks of max_keyframes_per_update (the reference's
+        # keyframe-queue batching, `:552` — here it bounds the vmapped batch
+        # shapes rather than deferring work)
+        if self.cfg.enable_loop_closure and K > 3:
+            poses_arr = np.stack([est(kf) for kf in self.keyframes])
             odom_arr = np.stack([kf.odom_scan2scan for kf in self.keyframes])
             accum_arr = np.asarray([kf.accum_distance for kf in self.keyframes])
             clouds = [kf.cloud for kf in self.keyframes]
             start = getattr(self, "_loop_checked_upto", 0)
             new_idx = [kf.index for kf in self.keyframes[start:]]
-            self.loops.extend(
-                self.loop_detector.detect_batch(
-                    new_idx, clouds, poses_arr, odom_arr, accum_arr
+            chunk = max(self.cfg.max_keyframes_per_update, 1)
+            for c in range(0, len(new_idx), chunk):
+                self.loops.extend(
+                    self.loop_detector.detect_batch(
+                        new_idx[c : c + chunk], clouds, poses_arr, odom_arr, accum_arr
+                    )
                 )
-            )
-            self._loop_checked_upto = len(self.keyframes)
+            self._loop_checked_upto = K
         for loop in self.loops:
             # edge old->new measuring old_T_new = T_rel (`addLoopFactor`)
-            g.add_between(
-                loop.key_old,
-                loop.key_new,
-                loop.T_rel,
-                info=loop.information,
-                robust_delta=self.cfg.loop_robust_delta,
-            )
+            i, j = loop.key_old - base, loop.key_new - base
+            if j < 0:
+                continue  # fully outside the window: already absorbed
+            if i >= 0:
+                g.add_between(
+                    i, j, loop.T_rel,
+                    info=loop.information, robust_delta=self.cfg.loop_robust_delta,
+                )
+            else:
+                # old endpoint frozen: T_new ~ T_old_frozen @ T_rel as a prior
+                T_prior = est(self.keyframes[loop.key_old]) @ loop.T_rel
+                g.add_prior(
+                    j, T_prior,
+                    info=loop.information, robust_delta=self.cfg.loop_robust_delta,
+                )
 
         # GPS priors (`flush_gps_queue`, `:1248-1327`): associate by stamp
-        stamps = np.asarray([kf.stamp for kf in self.keyframes])
+        stamps = np.asarray([kf.stamp for kf in kfs])
         for gps in self.gps_queue:
             k = int(np.argmin(np.abs(stamps - gps.stamp)))
             if abs(stamps[k] - gps.stamp) > 0.2:
@@ -301,18 +326,21 @@ class RadarGraphSLAM:
         # floor constraint: tie keyframe ground-plane observations to one
         # world floor plane vertex (EdgeSE3Plane; hdl-heritage floor_coeffs)
         floored = (
-            [kf for kf in self.keyframes if kf.floor_coeffs is not None]
+            [kf for kf in kfs if kf.floor_coeffs is not None]
             if self.cfg.enable_floor_constraint
             else []
         )
         if floored:
             from ..graph.solver import optimize_graph_with_planes
 
-            kf0 = floored[0]
-            T0 = kf0.optimized_pose if kf0.optimized_pose is not None else kf0.odom_scan2scan
-            n_b, d_b = kf0.floor_coeffs[:3], kf0.floor_coeffs[3]
-            n_w = T0[:3, :3] @ n_b
-            plane_w = np.concatenate([n_w, [d_b - n_w @ T0[:3, 3]]])
+            if self.floor_plane is not None:
+                plane_w = self.floor_plane
+            else:
+                kf0 = floored[0]
+                T0 = est(kf0)
+                n_b, d_b = kf0.floor_coeffs[:3], kf0.floor_coeffs[3]
+                n_w = T0[:3, :3] @ n_b
+                plane_w = np.concatenate([n_w, [d_b - n_w @ T0[:3, 3]]])
             j = g.add_plane(plane_w)
             info3 = np.diag(
                 [self.cfg.floor_normal_info, self.cfg.floor_normal_info,
@@ -320,7 +348,7 @@ class RadarGraphSLAM:
             )
             for kf in floored:
                 g.add_se3_plane(
-                    kf.index, j, kf.floor_coeffs, info3,
+                    kf.index - base, j, kf.floor_coeffs, info3,
                     robust_delta=self.cfg.floor_robust_delta,
                 )
 
@@ -332,7 +360,7 @@ class RadarGraphSLAM:
         else:
             res = optimize_graph(poses0, graph, self.cfg.solve)
         opt = np.asarray(res.poses)
-        for k, kf in enumerate(self.keyframes):
+        for k, kf in enumerate(kfs):
             kf.optimized_pose = opt[k]
         self._opt_poses = opt
         # map<-odom correction (`trans_odom2map`)

@@ -286,3 +286,33 @@ def test_preint_packed_modes(sequence):
     dR = out_ugpm[:9].reshape(3, 3).T @ out_lpm[:9].reshape(3, 3)
     ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
     assert ang < 0.05, ang
+
+
+def test_fixed_lag_optimize(sequence):
+    """optimize(window=W): only the last W keyframes move; older poses are
+    frozen; the result tracks the full-graph solution on a drift-free chain."""
+    traj, imu, stamps, scans = sequence
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, enable_preintegration=False))
+    rng = np.random.default_rng(5)
+    for i, t in enumerate(stamps[:14]):
+        R, p = traj.interp_pose(np.array([t]))
+        T = np.eye(4)
+        T[:3, :3] = R[0]
+        T[:3, 3] = p[0] + rng.normal(scale=0.02, size=3)
+        slam.add_frame(float(t), scans[i], T)
+    full = slam.optimize().copy()
+    # corrupt stored estimates of the last 5, then fixed-lag re-optimize
+    for kf in slam.keyframes[-5:]:
+        bad = kf.optimized_pose.copy()
+        bad[:3, 3] += 0.3
+        kf.optimized_pose = bad
+    frozen_before = [kf.optimized_pose.copy() for kf in slam.keyframes[:-6]]
+    out = slam.optimize(window=6)
+    assert out.shape[0] == 6
+    for kf, old in zip(slam.keyframes[:-6], frozen_before):
+        np.testing.assert_array_equal(kf.optimized_pose, old)
+    # windowed solve pulls the corrupted tail back to the full solution
+    tail_err = np.linalg.norm(
+        np.stack([kf.optimized_pose[:3, 3] for kf in slam.keyframes[-5:]])
+        - full[-5:, :3, 3], axis=-1)
+    assert tail_err.max() < 0.05, tail_err
