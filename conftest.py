@@ -28,12 +28,13 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the CI/dev boxes can be tiny (2 vCPUs); XLA
 # CPU compiles of the bigger jits (vmapped UGPM, e2e pipelines) dominate the
 # suite wall time. Cache them across runs.
-# scope the cache by remote-compile mode: with the axon sitecustomize loaded
+# force LOCAL compilation: with the axon sitecustomize loaded
 # (PALLAS_AXON_REMOTE_COMPILE=1) even CPU-backend compiles run on a remote
-# machine whose CPU features differ — loading those AOT entries in a
-# locally-compiled process warns or SIGILLs (observed)
-_suffix = "_remote" if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1" else ""
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache" + _suffix)
+# machine whose CPU features differ — executing that AOT code here warns or
+# SIGILLs (observed). Tests are CPU-only, so compile locally; compilation is
+# lazy, so flipping the env var before the first jit takes effect.
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -283,7 +283,7 @@ class ScanMatchingOdometry:
             T = ref_pose_inv @ pose
             xyz = np.asarray(cloud.xyz)
             m = np.asarray(cloud.mask)
-            pts.append(xyz[m] @ T[:3, :3].T + T[:3, 3])
+            pts.append((xyz[m] @ T[:3, :3].T + T[:3, 3]).astype(xyz.dtype))
         allpts = np.concatenate(pts, axis=0)
         merged = make_cloud(jnp.asarray(allpts), capacity=max(len(allpts), 1))
         merged = voxel_downsample(merged, self.cfg.submap_resolution)
@@ -338,6 +338,8 @@ class ScanMatchingOdometry:
             self.last_cloud = out.cloud
             self.keyframe_stamp = stamp
             self.last_stamp = stamp
+            if self.cfg.enable_scan_to_map:
+                self._submap_frames.append((self.keyframe_pose.copy(), out.cloud))
             return self.odom.copy(), host[18:21]
 
         self.last_stamp = stamp
@@ -401,7 +403,13 @@ class ScanMatchingOdometry:
             self.keyframe_pose = self.odom.copy()
             self.keyframe_stamp = stamp
             self.prev_trans_s2s = np.eye(4)
-            self.keyframe_cloud = out.cloud  # device-resident, no transfer
+            if self.cfg.enable_scan_to_map:
+                # submap rebuild is a keyframe-switch-only host path (a few
+                # transfers per switch, not per frame)
+                self._submap_frames.append((self.keyframe_pose.copy(), out.cloud))
+                self._rebuild_submap()
+            else:
+                self.keyframe_cloud = out.cloud  # device-resident, no transfer
         return self.odom.copy(), v
 
     def step(self, stamp: float, cloud: PointCloud, ego_vel: np.ndarray) -> np.ndarray:

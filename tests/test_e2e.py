@@ -316,3 +316,39 @@ def test_fixed_lag_optimize(sequence):
         np.stack([kf.optimized_pose[:3, 3] for kf in slam.keyframes[-5:]])
         - full[-5:, :3, 3], axis=-1)
     assert tail_err.max() < 0.05, tail_err
+
+
+def test_fused_scan_to_submap(sequence):
+    """Fused frontend in scan-to-submap mode: keyframe switches rebuild the
+    merged last-N target; the trajectory stays close to the scan-to-scan one."""
+    traj, imu, stamps, scans = sequence
+    odo = ScanMatchingOdometry(
+        OdometryConfig(enable_scan_to_map=True, max_submap_frames=3,
+                       submap_capacity=4096)
+    )
+    n = 10
+    poses = []
+    for i, (t, cloud) in enumerate(zip(stamps[:n], scans[:n])):
+        cap = cloud.capacity
+        packed = np.zeros((cap, 5), np.float32)
+        m = np.asarray(cloud.mask)
+        cnt = int(m.sum())
+        packed[:cnt, :3] = np.asarray(cloud.xyz)[m]
+        packed[:cnt, 3] = np.asarray(cloud.intensity)[m]
+        packed[:cnt, 4] = np.asarray(cloud.doppler)[m]
+        pose, v = odo.step_fused(float(t), packed, cnt)
+        poses.append(pose)
+    assert len(odo._submap_frames) >= 2  # switches happened and were recorded
+    # odometry is relative to the first frame; compare against GT motion
+    # expressed in the first frame
+    def gt_T(t):
+        R, p = traj.interp_pose(np.array([t]))
+        T = np.eye(4)
+        T[:3, :3] = R[0]
+        T[:3, 3] = p[0]
+        return T
+
+    T0 = gt_T(stamps[0])
+    gt_rel = np.stack([np.linalg.inv(T0) @ gt_T(t) for t in stamps[:n]])
+    err = np.linalg.norm(np.stack(poses)[:, :3, 3] - gt_rel[:, :3, 3], axis=-1)
+    assert err.max() < 0.3, err
