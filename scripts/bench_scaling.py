@@ -18,6 +18,8 @@ Prints one JSON line per (workload, n_devices).
 import json
 import os
 import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 import time
 
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):

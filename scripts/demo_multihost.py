@@ -18,6 +18,8 @@ Run:  python scripts/demo_multihost.py          (driver; spawns 2 workers)
 import os
 import subprocess
 import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 import time
 
 N_PROC = 2
