@@ -114,6 +114,21 @@ def cmd_slam(args):
         slam.push_twist(t, v)
 
     odo = ScanMatchingOdometry(odo_cfg)
+    if args.preprocess:
+        from .pipeline.preprocessing import PreprocessConfig
+
+        odo.preprocess_cfg = (
+            tree.preprocess if args.config else PreprocessConfig()
+        )
+    gyr_t_arr = np.asarray(imu["gyr_t"])
+    gyr_arr = np.asarray(imu["gyr"])
+
+    def omega_at(t):
+        if gyr_t_arr.size == 0:
+            return None
+        i = np.clip(np.searchsorted(gyr_t_arr, t) - 1, 0, gyr_t_arr.size - 1)
+        return gyr_arr[i]
+
     timer = StageTimer()
     key = jax.random.PRNGKey(0)
     ds = gn.NativeDataset(frames, capacity=args.capacity)
@@ -127,16 +142,19 @@ def cmd_slam(args):
             packed[:n_pts, 3] = inten[:n_pts]
             packed[:n_pts, 4] = dop[:n_pts]
             with timer.stage("frontend_fused"):
-                pose, v = odo.step_fused(float(stamp), packed, n_pts, ground=args.floor)
+                pose, v = odo.step_fused(
+                    float(stamp), packed, n_pts, ground=args.floor,
+                    omega=omega_at(float(stamp)) if args.preprocess else None,
+                )
             if online_twists:
                 slam.push_twist(float(stamp), v)
             cloud = odo.last_cloud  # device-resident, built inside the program
             floor = None
-            if args.floor and (
+            if (args.floor or (args.preprocess and odo.preprocess_cfg.enable_ground_seg)) and (
                 odo.last_ground_count >= slam.cfg.floor_min_ground_points
                 and abs(odo.last_plane[2]) > slam.cfg.floor_max_tilt_nz
             ):
-                floor = odo.last_plane
+                floor = odo.last_plane if slam.cfg.enable_floor_constraint else None
             with timer.stage("backend"):
                 slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
             if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
@@ -375,6 +393,10 @@ def main(argv=None):
                    help="fixed-lag mode: re-optimize only the last N keyframes per cycle")
     s.add_argument("--fused", action="store_true",
                    help="single-dispatch fused frontend (ego-vel + align in one device program)")
+    s.add_argument("--preprocess", action="store_true",
+                   help="run the full preprocessing chain (power/distance gates, outlier removal, "
+                        "dynamic-object removal, deskew, ground seg, DBSCAN) — fused into the "
+                        "frontend program with --fused")
     s.add_argument("--dataset", required=True)
     s.add_argument("--output", default="trajectory.tum")
     s.add_argument("--registration", default="apdgicp", choices=["apdgicp", "gicp", "ndt"])

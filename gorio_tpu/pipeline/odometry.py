@@ -24,6 +24,7 @@ import numpy as np
 from ..core.pointcloud import PointCloud
 from ..estimators.egovel import EgoVelConfig, estimate_ego_velocity
 from ..estimators.groundseg import GroundSegConfig, estimate_ground
+from .preprocessing import PreprocessConfig, preprocess_frame
 from ..registration.gicp import GICPConfig, gicp_align, prepare_gicp, make_gicp_callbacks
 from ..registration.lsq import lm_optimize
 from ..registration.ndt import NDTConfig, ndt_align
@@ -118,7 +119,41 @@ class FusedStepOut(NamedTuple):
     # as the next keyframe target with no transfer)
 
 
-@partial(jax.jit, static_argnames=("cfg", "egocfg", "gscfg"))
+def _fused_ingest_core(packed, host_state, egocfg, gscfg, ppcfg):
+    """Shared cloud-build + per-scan estimation used by both fused programs.
+
+    With `ppcfg` set, runs the FULL preprocessing chain of
+    `PreprocessingNodelet::cloud_callback` (power/distance gates, outlier
+    removal, ego-velocity, dynamic-object removal, deskew, ground seg +
+    under-ground removal, DBSCAN cluster ids — `preprocess_frame`) inside the
+    same device program; otherwise just the ego-velocity estimate (plus
+    optional standalone ground seg via `gscfg`).
+
+    Returns (cloud_for_registration, ego, ground_parts)."""
+    count = host_state[16].astype(jnp.int32)
+    seed = host_state[18].astype(jnp.uint32)
+    idx = host_state[19].astype(jnp.uint32)
+    cloud = _cloud_from_packed(packed, count)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
+    dtype = packed.dtype
+    if ppcfg is not None:
+        pf, _ = preprocess_frame(cloud, host_state[20:23], ppcfg, key=key)
+        parts = []
+        if ppcfg.enable_ground_seg:
+            parts = [
+                jnp.sum(pf.ground_mask).astype(dtype)[None],
+                pf.plane.astype(dtype),
+            ]
+        return pf.cloud, pf.ego, parts
+    ego = estimate_ego_velocity(cloud, egocfg, key=key)
+    parts = []
+    if gscfg is not None:
+        seg = estimate_ground(cloud, gscfg)
+        parts = [jnp.sum(seg.ground_mask).astype(dtype)[None], seg.plane.astype(dtype)]
+    return cloud, ego, parts
+
+
+@partial(jax.jit, static_argnames=("cfg", "egocfg", "gscfg", "ppcfg"))
 def fused_frontend_step(
     packed,
     host_state,
@@ -126,21 +161,16 @@ def fused_frontend_step(
     cfg: OdometryConfig,
     egocfg: EgoVelConfig,
     gscfg: Optional[GroundSegConfig] = None,
+    ppcfg: Optional[PreprocessConfig] = None,
 ) -> FusedStepOut:
-    """One jitted program: Doppler ego-velocity RANSAC -> cumulative motion
-    guess (`guess = prev_trans * egovel_cum`, `:458-462`) -> scan-to-keyframe
-    registration. `host_state` = [prev_trans.ravel() (16), count, dt, seed,
-    frame_idx] (20,)."""
+    """One jitted program: [full preprocessing ->] Doppler ego-velocity RANSAC
+    -> cumulative motion guess (`guess = prev_trans * egovel_cum`, `:458-462`)
+    -> scan-to-keyframe registration. `host_state` = [prev_trans.ravel() (16),
+    count, dt, seed, frame_idx, omega (3)] (23,)."""
     dtype = packed.dtype
     prev_trans = host_state[:16].reshape(4, 4)
-    count = host_state[16].astype(jnp.int32)
     dt = host_state[17]
-    seed = host_state[18].astype(jnp.uint32)
-    idx = host_state[19].astype(jnp.uint32)
-    cloud = _cloud_from_packed(packed, count)
-
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
-    ego = estimate_ego_velocity(cloud, egocfg, key=key)
+    cloud, ego, ground_parts = _fused_ingest_core(packed, host_state, egocfg, gscfg, ppcfg)
     step_T = jnp.eye(4, dtype=dtype).at[:3, 3].set(ego.v.astype(dtype) * dt)
     # guard (`:364`): runaway cumulative motion falls back to identity
     cum_ok = jnp.linalg.norm(step_T[:3, 3]) <= cfg.max_egovel_cum
@@ -160,25 +190,22 @@ def fused_frontend_step(
         ego.v.astype(dtype),
         ego.sigma.astype(dtype),
         ego.zero_velocity.astype(dtype)[None],
-    ]
-    if gscfg is not None:
-        seg = estimate_ground(cloud, gscfg)
-        parts += [jnp.sum(seg.ground_mask).astype(dtype)[None], seg.plane.astype(dtype)]
+    ] + ground_parts
     return FusedStepOut(host=jnp.concatenate(parts), cloud=cloud)
 
 
-@partial(jax.jit, static_argnames=("egocfg", "gscfg"))
+@partial(jax.jit, static_argnames=("egocfg", "gscfg", "ppcfg"))
 def fused_ingest(
-    packed, host_state, egocfg: EgoVelConfig, gscfg: Optional[GroundSegConfig] = None
+    packed,
+    host_state,
+    egocfg: EgoVelConfig,
+    gscfg: Optional[GroundSegConfig] = None,
+    ppcfg: Optional[PreprocessConfig] = None,
 ) -> FusedStepOut:
-    """First-frame path: build the cloud + ego-velocity only (no target yet)."""
+    """First-frame path: build (+preprocess) the cloud + ego-velocity only
+    (no registration target yet)."""
     dtype = packed.dtype
-    count = host_state[16].astype(jnp.int32)
-    seed = host_state[18].astype(jnp.uint32)
-    idx = host_state[19].astype(jnp.uint32)
-    cloud = _cloud_from_packed(packed, count)
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
-    ego = estimate_ego_velocity(cloud, egocfg, key=key)
+    cloud, ego, ground_parts = _fused_ingest_core(packed, host_state, egocfg, gscfg, ppcfg)
     parts = [
         jnp.eye(4, dtype=dtype).reshape(-1),
         jnp.ones(1, dtype),
@@ -186,10 +213,7 @@ def fused_ingest(
         ego.v.astype(dtype),
         ego.sigma.astype(dtype),
         ego.zero_velocity.astype(dtype)[None],
-    ]
-    if gscfg is not None:
-        seg = estimate_ground(cloud, gscfg)
-        parts += [jnp.sum(seg.ground_mask).astype(dtype)[None], seg.plane.astype(dtype)]
+    ] + ground_parts
     return FusedStepOut(host=jnp.concatenate(parts), cloud=cloud)
 
 
@@ -217,6 +241,8 @@ class ScanMatchingOdometry:
     statuses: list = field(default_factory=list)
     # scan-to-map state: (pose, cloud) of the last N keyframes
     _submap_frames: list = field(default_factory=list)
+    # full preprocessing chain fused into the frontend program when set
+    preprocess_cfg: Optional[PreprocessConfig] = None
     # IMU attitude queue [(t, roll, pitch)] + world->map rotation from the
     # first IMU sample (yaw zeroed), parity `:196-203`
     _imu_rp: list = field(default_factory=list)
@@ -306,6 +332,7 @@ class ScanMatchingOdometry:
         count: int,
         seed: int = 0,
         ground: bool = False,
+        omega=None,
     ):
         """Single-dispatch frontend step (see `fused_frontend_step`).
 
@@ -318,20 +345,24 @@ class ScanMatchingOdometry:
         `last_ground_count` / `last_plane` for the floor constraint.
         Scan-to-submap mode is not fused — use `step` for that."""
         self._frame_idx = getattr(self, "_frame_idx", -1) + 1
-        state = np.zeros(20, packed.dtype)
+        state = np.zeros(23, packed.dtype)
         state[:16] = self.prev_trans_s2s.ravel()
         state[16] = count
         state[17] = 0.0 if self.last_stamp is None else stamp - self.last_stamp
         state[18] = seed
         state[19] = self._frame_idx
+        if omega is not None:
+            state[20:23] = omega  # latest gyro sample for fused deskew
         packed_dev = jnp.asarray(packed)
         state_dev = jnp.asarray(state)
 
-        gscfg = self.cfg.groundseg if ground else None
+        ppcfg = self.preprocess_cfg
+        gscfg = self.cfg.groundseg if (ground and ppcfg is None) else None
+        has_ground = gscfg is not None or (ppcfg is not None and ppcfg.enable_ground_seg)
         if self.keyframe_cloud is None:
-            out = fused_ingest(packed_dev, state_dev, self.cfg.egovel, gscfg)
+            out = fused_ingest(packed_dev, state_dev, self.cfg.egovel, gscfg, ppcfg)
             host = np.asarray(out.host)
-            if ground:
+            if has_ground:
                 self.last_ground_count = int(host[25])
                 self.last_plane = host[26:30].astype(np.float64)
             self.keyframe_cloud = out.cloud
@@ -344,11 +375,12 @@ class ScanMatchingOdometry:
 
         self.last_stamp = stamp
         out = fused_frontend_step(
-            packed_dev, state_dev, self.keyframe_cloud, self.cfg, self.cfg.egovel, gscfg
+            packed_dev, state_dev, self.keyframe_cloud, self.cfg, self.cfg.egovel,
+            gscfg, ppcfg,
         )
         self.last_cloud = out.cloud
         host = np.asarray(out.host)  # the single per-frame device->host pull
-        if ground:
+        if has_ground:
             self.last_ground_count = int(host[25])
             self.last_plane = host[26:30].astype(np.float64)
         T = host[:16].reshape(4, 4).astype(np.float64)
