@@ -133,7 +133,16 @@ def cmd_slam(args):
     key = jax.random.PRNGKey(0)
     ds = gn.NativeDataset(frames, capacity=args.capacity)
     n = 0
+    def accept_floor(n_ground, plane):
+        """Confident, roughly-horizontal ground fits only."""
+        return (
+            slam.cfg.enable_floor_constraint
+            and n_ground >= slam.cfg.floor_min_ground_points
+            and abs(plane[2]) > slam.cfg.floor_max_tilt_nz
+        )
+
     for stamp, xyz, inten, dop in ds:
+        floor = None
         if args.fused:
             # single-dispatch frontend: pack once, one program, one pull
             packed = np.zeros((args.capacity, 5), np.float32)
@@ -149,18 +158,9 @@ def cmd_slam(args):
             if online_twists:
                 slam.push_twist(float(stamp), v)
             cloud = odo.last_cloud  # device-resident, built inside the program
-            floor = None
-            if (args.floor or (args.preprocess and odo.preprocess_cfg.enable_ground_seg)) and (
-                odo.last_ground_count >= slam.cfg.floor_min_ground_points
-                and abs(odo.last_plane[2]) > slam.cfg.floor_max_tilt_nz
-            ):
-                floor = odo.last_plane if slam.cfg.enable_floor_constraint else None
-            with timer.stage("backend"):
-                slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
-            if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
-                slam.optimize(window=args.optimize_window or None)
-            n += 1
-            continue
+            has_ground = args.floor or (args.preprocess and odo.preprocess_cfg.enable_ground_seg)
+            if has_ground and accept_floor(odo.last_ground_count, odo.last_plane):
+                floor = odo.last_plane
         else:
             cloud = make_cloud(
                 jnp.asarray(xyz), intensity=jnp.asarray(inten), doppler=jnp.asarray(dop),
@@ -174,18 +174,15 @@ def cmd_slam(args):
                     slam.push_twist(float(stamp), v)
             with timer.stage("scan_matching"):
                 pose = odo.step(float(stamp), cloud, v)
-        floor = None
-        if args.floor:
-            from .estimators.groundseg import GroundSegConfig, estimate_ground
+            if args.floor:
+                from .estimators.groundseg import GroundSegConfig, estimate_ground
 
-            with timer.stage("ground_seg"):
-                seg = estimate_ground(cloud, GroundSegConfig())
-                n_ground = int(np.asarray(jnp.sum(seg.ground_mask)))
-                plane = np.asarray(seg.plane)
-                # accept only confident, roughly-horizontal fits
-                if (n_ground >= slam.cfg.floor_min_ground_points
-                        and abs(plane[2]) > slam.cfg.floor_max_tilt_nz):
-                    floor = plane
+                with timer.stage("ground_seg"):
+                    seg = estimate_ground(cloud, GroundSegConfig())
+                    n_ground = int(np.asarray(jnp.sum(seg.ground_mask)))
+                    plane = np.asarray(seg.plane)
+                    if accept_floor(n_ground, plane):
+                        floor = plane
         with timer.stage("backend"):
             slam.add_frame(float(stamp), cloud, pose, floor_coeffs=floor)
             if args.optimize_every and len(slam.keyframes) % args.optimize_every == 0:
@@ -311,16 +308,12 @@ def cmd_align(args):
         rows.append((name, first, warm, res.T))
     # fitness AFTER all timing: its async kNN pass would otherwise still be
     # draining on the device stream and contaminate the next method's timings
-    out = []
     for name, first, warm, T in rows:
         fit, _ = fitness_score(source, target, T, max_range=jnp.inf)
-        out.append((name, fit, first, warm, T))
-    rows = out
-    for name, fit, first, warm, _ in rows:
         print(f"{name:<16} {float(fit):>9.6f} {first:>10.2f} {warm:>9.2f}")
     if args.print_transform:
         print("final transform (last method):")
-        print(np.array_str(np.asarray(rows[-1][4]), precision=5, suppress_small=True))
+        print(np.array_str(np.asarray(rows[-1][3]), precision=5, suppress_small=True))
 
 
 def cmd_dump_config(args):

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie
 from ..core.pointcloud import PointCloud
 from ..registration.gicp import GICPConfig, gicp_align
 from .information import InformationConfig, calc_information_matrix
@@ -80,43 +79,17 @@ def _verify_batch(src, tgt, gicp_cfg: GICPConfig, info_cfg: InformationConfig):
     return jax.vmap(verify)(src, tgt)
 
 
-def candidate_mask(
-    new_pos,
-    new_yaw,
-    new_accum,
-    cand_pos,
-    cand_yaw,
-    cand_accum,
-    dist_since_last_loop,
-    cfg: LoopConfig,
-):
-    """Vectorized `find_candidates` gates (`loop_detector.cpp:139-189`):
-    accumulated-distance, yaw-difference, drift-scaled ellipse (both the
-    since-last-loop and the accumulated-distance ellipses)."""
-    accum_d = new_accum - cand_accum
-    ok = accum_d > cfg.accum_distance_thresh
-    yaw_diff = jnp.abs(
-        jnp.mod(new_yaw - cand_yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
-    )
-    ok &= jnp.rad2deg(yaw_diff) < cfg.max_yaw_difference_deg
-    diff = new_pos[None, :] - cand_pos
-    rad_lle = 3.0 + dist_since_last_loop * cfg.odom_drift_xy * cfg.drift_scale_xy
-    aa_lle = (diff[:, 0] / rad_lle) ** 2 + (diff[:, 1] / rad_lle) ** 2
-    ok &= aa_lle <= 1.0
-    rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
-    aa = (diff[:, 0] / rad_xy) ** 2 + (diff[:, 1] / rad_xy) ** 2
-    ok &= aa <= 1.0
-    return ok
-
-
 def _rot_angle_np(R) -> float:
     return float(np.arccos(np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)))
 
 
 def candidate_gates_np(new_pos, new_yaw, new_accum, old_pos, old_yaw, old_accum,
                        dist_since_last_loop, cfg: LoopConfig) -> bool:
-    """Scalar numpy twin of `candidate_mask` for the host-side accept chain
-    (no device dispatches; semantics must stay identical)."""
+    """`find_candidates` gates (`loop_detector.cpp:139-189`):
+    accumulated-distance, yaw-difference, and both drift-scaled ellipses
+    (since-last-loop + accumulated-distance). Scalar numpy on purpose: these
+    run per candidate in the host-side accept chain, where a device dispatch
+    per check would dominate (see `detect_batch`)."""
     accum_d = new_accum - old_accum
     if accum_d <= cfg.accum_distance_thresh:
         return False
@@ -204,19 +177,12 @@ class LoopDetector:
         match = int(match)
         if match < 0:
             return None
-        yaws_new = np.asarray(lie.mat_to_ypr(jnp.asarray(poses[new_index][:3, :3]))[0])
-        yaws_old = np.asarray(lie.mat_to_ypr(jnp.asarray(poses[match][:3, :3]))[0])
-        ok = candidate_mask(
-            jnp.asarray(poses[new_index][:3, 3]),
-            jnp.asarray(yaws_new),
-            jnp.asarray(new_accum),
-            jnp.asarray(poses[match][:3, 3])[None, :],
-            jnp.asarray([yaws_old]),
-            jnp.asarray([accum[match]]),
-            dist_since,
-            cfg,
-        )
-        if not bool(ok[0]):
+        yaw_new = np.arctan2(poses[new_index][1, 0], poses[new_index][0, 0])
+        yaw_old = np.arctan2(poses[match][1, 0], poses[match][0, 0])
+        if not candidate_gates_np(
+            poses[new_index][:3, 3], yaw_new, new_accum,
+            poses[match][:3, 3], yaw_old, accum[match], dist_since, cfg,
+        ):
             return None
 
         # registration verification (`:222-244`): align new (source) to old

@@ -153,13 +153,12 @@ def _fused_ingest_core(packed, host_state, egocfg, gscfg, ppcfg):
     return cloud, ego, parts
 
 
-@partial(jax.jit, static_argnames=("cfg", "egocfg", "gscfg", "ppcfg"))
+@partial(jax.jit, static_argnames=("cfg", "gscfg", "ppcfg"))
 def fused_frontend_step(
     packed,
     host_state,
     kf_cloud: PointCloud,
     cfg: OdometryConfig,
-    egocfg: EgoVelConfig,
     gscfg: Optional[GroundSegConfig] = None,
     ppcfg: Optional[PreprocessConfig] = None,
 ) -> FusedStepOut:
@@ -170,7 +169,9 @@ def fused_frontend_step(
     dtype = packed.dtype
     prev_trans = host_state[:16].reshape(4, 4)
     dt = host_state[17]
-    cloud, ego, ground_parts = _fused_ingest_core(packed, host_state, egocfg, gscfg, ppcfg)
+    cloud, ego, ground_parts = _fused_ingest_core(
+        packed, host_state, cfg.egovel, gscfg, ppcfg
+    )
     step_T = jnp.eye(4, dtype=dtype).at[:3, 3].set(ego.v.astype(dtype) * dt)
     # guard (`:364`): runaway cumulative motion falls back to identity
     cum_ok = jnp.linalg.norm(step_T[:3, 3]) <= cfg.max_egovel_cum
@@ -375,8 +376,7 @@ class ScanMatchingOdometry:
 
         self.last_stamp = stamp
         out = fused_frontend_step(
-            packed_dev, state_dev, self.keyframe_cloud, self.cfg, self.cfg.egovel,
-            gscfg, ppcfg,
+            packed_dev, state_dev, self.keyframe_cloud, self.cfg, gscfg, ppcfg
         )
         self.last_cloud = out.cloud
         host = np.asarray(out.host)  # the single per-frame device->host pull

@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +35,7 @@ from ..preintegration.ugpm import UGPMConfig, ugpm_preintegrate
 from .keyframes import KeyFrame, KeyframeUpdater
 
 
+@partial(jax.jit, static_argnames=("mode", "grid_n", "ugpm_cfg"))
 def _preint_packed(gyr_pack, vel_pack, meta, mode: str, grid_n: int, ugpm_cfg):
     """Transfer-minimal preintegration dispatch: 3 uploads (packed gyro,
     packed vel, meta [t0, t1, gyr_var, vel_var]) and ONE 48-float pull
@@ -51,20 +54,6 @@ def _preint_packed(gyr_pack, vel_pack, meta, mode: str, grid_n: int, ugpm_cfg):
     return jnp.concatenate(
         [meas.delta_R[0].reshape(-1), meas.delta_p[0], meas.cov[0].reshape(-1)]
     )
-
-
-_preint_packed_jit = None
-
-
-def _get_preint_packed():
-    global _preint_packed_jit
-    if _preint_packed_jit is None:
-        import jax
-
-        _preint_packed_jit = jax.jit(
-            _preint_packed, static_argnames=("mode", "grid_n", "ugpm_cfg")
-        )
-    return _preint_packed_jit
 
 
 class SLAMConfig(NamedTuple):
@@ -223,7 +212,7 @@ class RadarGraphSLAM:
         vel_pack = np.concatenate([vt[:, None], vd], axis=1)
         meta = np.asarray([t0, t1, self.cfg.gyr_var, self.cfg.vel_var])
         out = np.asarray(
-            _get_preint_packed()(
+            _preint_packed(
                 jnp.asarray(gyr_pack), jnp.asarray(vel_pack), jnp.asarray(meta),
                 self.cfg.preint_mode, self.cfg.preint_grid_n, self.cfg.ugpm,
             )

@@ -246,7 +246,7 @@ def test_preint_packed_modes(sequence):
     """The transfer-minimal packed preintegration dispatch matches the direct
     integrator call for both LPM and UGPM modes."""
     import jax.numpy as jnp
-    from gorio_tpu.pipeline.slam import _get_preint_packed
+    from gorio_tpu.pipeline.slam import _preint_packed
     from gorio_tpu.preintegration.lpm import lpm_preintegrate
     from gorio_tpu.preintegration.ugpm import UGPMConfig
 
@@ -263,7 +263,7 @@ def test_preint_packed_modes(sequence):
     gyr_pack = np.concatenate([gt[:, None], gd], axis=1)
     vel_pack = np.concatenate([vt[:, None], vd], axis=1)
 
-    fn = _get_preint_packed()
+    fn = _preint_packed
     out_lpm = np.asarray(
         fn(jnp.asarray(gyr_pack), jnp.asarray(vel_pack), jnp.asarray(meta),
            "lpm", 256, UGPMConfig())
