@@ -195,6 +195,30 @@ def cmd_slam(args):
     print(f"processed {n} frames -> {len(slam.keyframes)} keyframes, "
           f"{len(slam.loops)} loops; trajectory: {args.output}")
     print(timer.report())
+    if args.status_out:
+        # ScanMatchingStatus parity (`ScanMatchingStatus.msg` published per
+        # frame by the odometry nodelet): convergence, matching error,
+        # relative pose, prediction error, whether the fallback fired
+        import json as _json
+
+        with open(args.status_out, "w") as fh:
+            _json.dump(
+                [
+                    {
+                        "converged": st.converged,
+                        "matching_error": st.matching_error,
+                        "relative_pose": np.asarray(st.relative_pose).tolist(),
+                        "prediction_error": (
+                            None if st.prediction_error is None
+                            else np.asarray(st.prediction_error).tolist()
+                        ),
+                        "used_prediction": st.used_prediction,
+                    }
+                    for st in odo.statuses
+                ],
+                fh,
+            )
+        print(f"statuses: {args.status_out} ({len(odo.statuses)} frames)")
     if args.dump:
         slam.save(args.dump)
     if args.map:
@@ -386,6 +410,8 @@ def main(argv=None):
                    help="fixed-lag mode: re-optimize only the last N keyframes per cycle")
     s.add_argument("--fused", action="store_true",
                    help="single-dispatch fused frontend (ego-vel + align in one device program)")
+    s.add_argument("--status-out", default=None,
+                   help="write per-frame ScanMatchingStatus records as JSON")
     s.add_argument("--preprocess", action="store_true",
                    help="run the full preprocessing chain (power/distance gates, outlier removal, "
                         "dynamic-object removal, deskew, ground seg, DBSCAN) — fused into the "

@@ -71,6 +71,7 @@ class GroundSegResult(NamedTuple):
     patch_normal: jax.Array  # (P, 3)
     patch_mean_z: jax.Array  # (P,)
     patch_valid: jax.Array  # (P,)
+    patch_flatness: jax.Array  # (P,) smallest-eig flatness of the patch fit
 
 
 class AGLEState(NamedTuple):
@@ -194,17 +195,22 @@ def estimate_ground(
             & (z < -cfg.sensor_height + cfg.radar_height_gate)
         )
 
-    # --- patch classification (uprightness + elevation, simplified A-GLE) --
+    # --- patch classification (uprightness + elevation A-GLE) + TGR --------
     upright = jnp.abs(normal[:, 2]) > cfg.uprightness_thr
     enough = cnt >= cfg.num_min_pts
     if agle is not None:
-        elev_thr = jnp.where(
-            agle.count[0] > 10, agle.elevation_thr[0], -cfg.sensor_height + 1.0
-        )
+        warm = agle.count[0] > 10
+        elev_thr = jnp.where(warm, agle.elevation_thr[0], -cfg.sensor_height + 1.0)
+        # TGR (`temporal_ground_revert`, `:952-1010`): patches failing the
+        # elevation gate are reverted to ground when flatter than the adaptive
+        # flatness threshold (mean+std of recent ground-patch flatness)
+        flat_thr = jnp.where(warm, agle.flatness_thr[0], 0.0)
     else:
         elev_thr = -cfg.sensor_height + 1.0
+        flat_thr = jnp.zeros((), dtype)
     elev_ok = mean[:, 2] < elev_thr
-    patch_is_ground = upright & enough & elev_ok
+    tgr_revert = upright & enough & ~elev_ok & (flat < flat_thr)
+    patch_is_ground = (upright & enough & elev_ok) | tgr_revert
     ground = ground & patch_is_ground[jnp.clip(pid, 0, P - 1)]
 
     # --- Go-RIO whole-ground covariance-weighted refinement ----------------
@@ -249,23 +255,31 @@ def estimate_ground(
         patch_normal=normal,
         patch_mean_z=mean[:, 2],
         patch_valid=patch_is_ground,
+        patch_flatness=flat,
     )
 
 
 def update_agle(state: AGLEState, result: GroundSegResult, decay: float = 0.95) -> AGLEState:
     """EMA counterpart of the reference's elevation/flatness storage
-    (`update_elevation_thr`/`update_flatness_thr`, `:894-950`)."""
+    (`update_elevation_thr`: thr = mean + 3*std, `:894-922`;
+    `update_flatness_thr`: thr = mean + std, `:925-950` — the reference keeps
+    bounded per-ring sample vectors; an EMA over per-frame statistics is the
+    fixed-memory equivalent)."""
     valid = result.patch_valid
-    mz = jnp.where(valid, result.patch_mean_z, 0.0)
     n_valid = jnp.maximum(jnp.sum(valid), 1)
+    mz = jnp.where(valid, result.patch_mean_z, 0.0)
     mean_z = jnp.sum(mz) / n_valid
     var_z = jnp.sum(jnp.where(valid, (result.patch_mean_z - mean_z) ** 2, 0.0)) / n_valid
     new_elev = mean_z + 3.0 * jnp.sqrt(var_z)
-    elev = jnp.where(
-        state.count[0] > 0, decay * state.elevation_thr[0] + (1 - decay) * new_elev, new_elev
-    )
+    mf = jnp.where(valid, result.patch_flatness, 0.0)
+    mean_f = jnp.sum(mf) / n_valid
+    var_f = jnp.sum(jnp.where(valid, (result.patch_flatness - mean_f) ** 2, 0.0)) / n_valid
+    new_flat = mean_f + jnp.sqrt(var_f)
+    warm = state.count[0] > 0
+    elev = jnp.where(warm, decay * state.elevation_thr[0] + (1 - decay) * new_elev, new_elev)
+    flat = jnp.where(warm, decay * state.flatness_thr[0] + (1 - decay) * new_flat, new_flat)
     return AGLEState(
         elevation_thr=jnp.full_like(state.elevation_thr, elev),
-        flatness_thr=state.flatness_thr,
+        flatness_thr=jnp.full_like(state.flatness_thr, flat),
         count=state.count + 1,
     )
