@@ -85,6 +85,14 @@ class SLAMConfig(NamedTuple):
     # acceptance gate for per-frame ground-plane fits feeding the constraint
     floor_min_ground_points: int = 30
     floor_max_tilt_nz: float = 0.8
+    # pad the pose count to the next power of two with unit-prior dummy poses
+    # so the jitted solver compiles once per BUCKET, not once per keyframe
+    # count (compiles dominate on remote-compile TPU setups; the same
+    # bucketing discipline clouds and factor arrays already follow)
+    pad_poses_pow2: bool = True
+    # dense Cholesky above this stacked dimension is slow to COMPILE (and
+    # O(D^3) to run); larger solves switch to Jacobi-preconditioned CG
+    solve_dense_max_dim: int = 1536
 
 
 class GPSMeasurement(NamedTuple):
@@ -341,14 +349,24 @@ class RadarGraphSLAM:
                     robust_delta=self.cfg.floor_robust_delta,
                 )
 
+        if self.cfg.pad_poses_pow2:
+            K_real = len(g.poses)
+            K_pad = max(4, 1 << (K_real - 1).bit_length())
+            for _ in range(K_pad - K_real):
+                d = g.add_pose(np.eye(4))
+                g.add_prior(d, np.eye(4), info=1.0)
+
         poses0, graph = g.freeze()
+        solve_cfg = self.cfg.solve
+        if solve_cfg.solver == "dense" and len(g.poses) * 6 > self.cfg.solve_dense_max_dim:
+            solve_cfg = solve_cfg._replace(solver="cg")
         if floored:
             planes0, pg = g.freeze_planes()
-            res = optimize_graph_with_planes(poses0, planes0, graph, pg, self.cfg.solve)
+            res = optimize_graph_with_planes(poses0, planes0, graph, pg, solve_cfg)
             self.floor_plane = np.asarray(res.planes[0])
         else:
-            res = optimize_graph(poses0, graph, self.cfg.solve)
-        opt = np.asarray(res.poses)
+            res = optimize_graph(poses0, graph, solve_cfg)
+        opt = np.asarray(res.poses)[: len(kfs)]  # drop pow2-padding dummies
         for k, kf in enumerate(kfs):
             kf.optimized_pose = opt[k]
         self._opt_poses = opt
