@@ -386,6 +386,11 @@ class ScanMatchingOdometry:
         T = host[:16].reshape(4, 4).astype(np.float64)
         converged = host[16] > 0.5
         v = host[18:21]
+        if not np.isfinite(v).all():
+            # degenerate scan (no gated Doppler returns): zero the velocity so
+            # the motion prediction fallback stays finite (parity with the
+            # reference's zero-velocity handling, `:427-430`)
+            v = np.zeros(3, host.dtype)
 
         delta = np.linalg.inv(self.prev_trans_s2s) @ T
         dx = float(np.linalg.norm(delta[:3, 3]))
@@ -400,8 +405,12 @@ class ScanMatchingOdometry:
         ddx = float(np.linalg.norm(diff[:3, 3]))
         dda = _rot_angle(diff[:3, :3])
         used_prediction = False
+        # NaN-safe gating: `nan > thresh` is False, so a diverged (non-finite)
+        # registration would slip through the threshold checks and poison the
+        # whole trajectory downstream — check finiteness explicitly
         if (
             not converged
+            or not np.isfinite(T).all()
             or dx > self.cfg.max_acceptable_trans
             or da > self.cfg.max_acceptable_angle
             or ddx > self.cfg.max_diff_trans
@@ -477,8 +486,10 @@ class ScanMatchingOdometry:
         ddx = float(np.linalg.norm(diff[:3, 3]))
         dda = _rot_angle(diff[:3, :3])
         used_prediction = False
+        # NaN-safe: see step_fused — non-finite T must not pass the gates
         if (
             not bool(res.converged)
+            or not np.isfinite(T).all()
             or dx > self.cfg.max_acceptable_trans
             or da > self.cfg.max_acceptable_angle
             or ddx > self.cfg.max_diff_trans

@@ -399,3 +399,21 @@ def test_fused_preprocess_chain(sequence):
     # these sparse synthetic scans trims real structure; the assertion guards
     # the chain mechanics (finite, tracking), not segmentation quality
     assert err.max() < 0.8, err
+
+
+def test_fused_step_nan_fallback():
+    """A degenerate frame (all points at the origin) must not poison the
+    odometry: non-finite registration output falls back to the motion
+    prediction (`nan > thresh` is False, so finiteness is gated explicitly)."""
+    odo = ScanMatchingOdometry(OdometryConfig())
+    rng = np.random.default_rng(1)
+    good = np.zeros((512, 5), np.float32)
+    good[:, :3] = rng.uniform(-20, 20, size=(512, 3))
+    good[:, 3] = 10.0
+    pose0, _ = odo.step_fused(0.0, good, 512)
+    degenerate = np.zeros((512, 5), np.float32)  # all points identical
+    pose1, v1 = odo.step_fused(0.2, degenerate, 512)
+    assert np.all(np.isfinite(pose1)), pose1
+    pose2, _ = odo.step_fused(0.4, good, 512)
+    assert np.all(np.isfinite(pose2)), pose2
+    assert np.all(np.isfinite(odo.prev_trans_s2s))
