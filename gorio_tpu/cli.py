@@ -207,6 +207,8 @@ def cmd_slam(args):
                     {
                         "converged": st.converged,
                         "matching_error": st.matching_error,
+                        "inlier_fraction": st.inlier_fraction,
+                        "prediction_label": st.prediction_label,
                         "relative_pose": np.asarray(st.relative_pose).tolist(),
                         "prediction_error": (
                             None if st.prediction_error is None

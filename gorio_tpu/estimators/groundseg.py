@@ -17,9 +17,12 @@ TPU-native counterpart of the modified Patchwork++ in
   * under-ground multipath removal (`:867-879`) masks points > 1 m below the
     refined plane.
 
-A-GLE / TGR adaptive thresholds (`:894-990`) are carried as an explicit
-`AGLEState` the caller threads through frames (the reference mutates member
-vectors); `update_agle` reproduces the mean+std update rule.
+A-GLE / TGR adaptive thresholds (`:894-1010`) are carried as an explicit
+per-ring `AGLEState` the caller threads through frames (the reference mutates
+per-ring member vectors `update_elevation_[r]` / `update_flatness_[r]`);
+`update_agle` reproduces the per-ring mean+k*std update rules (ring 0 also
+re-estimates the sensor height, `:903-905`), with a fixed-memory EMA standing
+in for the reference's bounded sample buffers.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.pointcloud import PointCloud
 from .covariances import polar_covariances
@@ -57,10 +61,19 @@ class GroundSegConfig(NamedTuple):
     radar_height_gate: float = 0.5
     underground_dist: float = -1.0  # `:874`
     refine_iters: int = 3
+    # A-GLE / TGR (`patchworkpp.hpp:244`: num_rings_of_interest_ =
+    # elevation_thr_.size(), 4 in the launch configs; `:986` line gate)
+    num_rings_of_interest: int = 4
+    line_variable_thresh: float = 8.0
+    enable_TGR: bool = True
 
     @property
     def num_patches(self) -> int:
         return sum(r * s for r, s in zip(self.rings_per_zone, self.sectors_per_zone))
+
+    @property
+    def num_rings(self) -> int:
+        return sum(self.rings_per_zone)
 
 
 class GroundSegResult(NamedTuple):
@@ -71,23 +84,60 @@ class GroundSegResult(NamedTuple):
     patch_normal: jax.Array  # (P, 3)
     patch_mean_z: jax.Array  # (P,)
     patch_valid: jax.Array  # (P,)
-    patch_flatness: jax.Array  # (P,) smallest-eig flatness of the patch fit
+    patch_flatness: jax.Array  # (P,) smallest cov eigenvalue of the patch fit
+    patch_stored: jax.Array  # (P,) A-GLE storage mask (`patchworkpp.hpp:794-800`)
 
 
 class AGLEState(NamedTuple):
-    """Adaptive ground-likelihood thresholds per ring-of-interest."""
+    """Per-ring adaptive ground-likelihood state (`patchworkpp.hpp:894-950`).
 
-    elevation_thr: jax.Array  # (4,)
-    flatness_thr: jax.Array  # (4,)
-    count: jax.Array  # (4,)
+    The reference keeps per-ring sample buffers `update_elevation_[r]` /
+    `update_flatness_[r]` (bounded by `max_*_storage_`) and recomputes
+    thresholds as mean + k*std each frame. Here the running per-ring moments
+    are EMA-tracked (fixed memory, jit-friendly); the derived thresholds
+    follow the same rules: elevation ring 0 = mean + 3*std (and sensor_height
+    = -mean, `:903-905`), rings 1+ = mean + 2*std (`:907`), flatness =
+    mean + std (`:934`). Shapes are (num_rings_of_interest,).
+    """
+
+    elevation_thr: jax.Array  # (R,) derived elevation gates
+    flatness_thr: jax.Array  # (R,) derived flatness gates
+    elev_mean: jax.Array  # (R,) running elevation mean
+    elev_var: jax.Array  # (R,) running elevation variance
+    flat_mean: jax.Array  # (R,)
+    flat_var: jax.Array  # (R,)
+    count: jax.Array  # (R,) per-ring update counts
+    sensor_height: jax.Array  # () adaptive; NaN until ring 0 has data
 
     @staticmethod
-    def init(dtype=jnp.float64):
+    def init(dtype=jnp.float64, rings: int = 4, cfg: "GroundSegConfig" = None):
+        if cfg is not None:
+            rings = cfg.num_rings_of_interest
+        cold_elev = (1.0 - (cfg.sensor_height if cfg is not None else 0.7))
         return AGLEState(
-            elevation_thr=jnp.zeros(4, dtype),
-            flatness_thr=jnp.zeros(4, dtype),
-            count=jnp.zeros(4, dtype),
+            elevation_thr=jnp.full((rings,), cold_elev, dtype),
+            flatness_thr=jnp.zeros(rings, dtype),
+            elev_mean=jnp.zeros(rings, dtype),
+            elev_var=jnp.zeros(rings, dtype),
+            flat_mean=jnp.zeros(rings, dtype),
+            flat_var=jnp.zeros(rings, dtype),
+            count=jnp.zeros(rings, dtype),
+            sensor_height=jnp.asarray(jnp.nan, dtype),
         )
+
+
+def ring_of_patch(cfg: GroundSegConfig) -> np.ndarray:
+    """Static (P,) concentric ring index per patch (the `concentric_idx`
+    counter in `estimate_ground`'s zone/ring/sector loop, `:718-855`)."""
+    out = np.zeros(cfg.num_patches, np.int32)
+    offset, cring = 0, 0
+    for z in range(cfg.num_zones):
+        nr, ns = cfg.rings_per_zone[z], cfg.sectors_per_zone[z]
+        for r in range(nr):
+            out[offset + r * ns : offset + (r + 1) * ns] = cring + r
+        offset += nr * ns
+        cring += nr
+    return out
 
 
 def _zone_boundaries(cfg: GroundSegConfig):
@@ -117,7 +167,7 @@ def _patch_ids(xyz, cfg: GroundSegConfig):
 
 def _plane_from_masked(xyz, w, pid, P):
     """Per-patch PCA plane from weighted points: returns normal (P,3),
-    d (P,), mean (P,3), count (P,), flatness (P,)."""
+    d (P,), mean (P,3), count (P,), cov eigenvalues ascending (P,3)."""
     cnt = jax.ops.segment_sum(w, pid, num_segments=P + 1)[:P]
     mean = jax.ops.segment_sum(xyz * w[:, None], pid, num_segments=P + 1)[:P]
     mean = mean / jnp.maximum(cnt, 1.0)[:, None]
@@ -129,8 +179,7 @@ def _plane_from_masked(xyz, w, pid, P):
     normal = evecs[:, :, 0]  # smallest eigenvalue
     normal = normal * jnp.where(normal[:, 2:3] < 0, -1.0, 1.0)
     d = -jnp.einsum("pi,pi->p", normal, mean)
-    flatness = evals[:, 0] / jnp.maximum(evals[:, 1] + evals[:, 2], 1e-12)
-    return normal, d, mean, cnt, flatness
+    return normal, d, mean, cnt, evals
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -142,6 +191,17 @@ def estimate_ground(
     dtype = xyz.dtype
     P = cfg.num_patches
 
+    # adaptive sensor height: ring-0 A-GLE re-estimates it each frame
+    # (`patchworkpp.hpp:903-905`); NaN until warm -> config value
+    if agle is not None:
+        sh = jnp.where(
+            jnp.isfinite(agle.sensor_height),
+            agle.sensor_height.astype(dtype),
+            jnp.asarray(cfg.sensor_height, dtype),
+        )
+    else:
+        sh = jnp.asarray(cfg.sensor_height, dtype)
+
     valid = cloud.mask
     # RNR (`patchworkpp.hpp:657`): steep-downward low-intensity returns
     if cfg.enable_RNR:
@@ -150,7 +210,7 @@ def estimate_ground(
         noise = (
             (ver_deg < cfg.rnr_ver_angle_thr)
             & (cloud.intensity < cfg.rnr_intensity_thr)
-            & (xyz[:, 2] < -cfg.sensor_height - 0.8)
+            & (xyz[:, 2] < -sh - 0.8)
         )
         valid = valid & ~noise
 
@@ -159,9 +219,9 @@ def estimate_ground(
     # --- seeds: mean of the num_lpr lowest z per patch + th_seeds ----------
     z = xyz[:, 2]
     # adaptive seed margin: drop points far below -sensor_height (`:1177-1183`)
-    seed_ok = z > cfg.adaptive_seed_selection_margin * cfg.sensor_height
+    seed_ok = z > cfg.adaptive_seed_selection_margin * sh
     # Go-RIO radar gate: ground candidates must sit near/below sensor height
-    seed_ok = seed_ok & (z < -cfg.sensor_height + cfg.radar_height_gate)
+    seed_ok = seed_ok & (z < -sh + cfg.radar_height_gate)
     big = jnp.asarray(1e9, dtype)
     z_mat = jnp.where(
         (pid[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None]) & seed_ok[None, :],
@@ -179,12 +239,12 @@ def estimate_ground(
     # --- R-GPF iterations (`:1024-1127`) ----------------------------------
     normal = jnp.zeros((P, 3), dtype)
     dplane = jnp.zeros((P,), dtype)
-    flat = jnp.zeros((P,), dtype)
+    evals = jnp.zeros((P, 3), dtype)
     cnt = jnp.zeros((P,), dtype)
     mean = jnp.zeros((P, 3), dtype)
     for _ in range(cfg.num_iter):
         w = ground.astype(dtype)
-        normal, dplane, mean, cnt, flat = _plane_from_masked(xyz, w, pid, P)
+        normal, dplane, mean, cnt, evals = _plane_from_masked(xyz, w, pid, P)
         dist = jnp.einsum("ni,ni->n", normal[jnp.clip(pid, 0, P - 1)], xyz) + dplane[
             jnp.clip(pid, 0, P - 1)
         ]
@@ -192,25 +252,60 @@ def estimate_ground(
             valid
             & (pid < P)
             & (jnp.abs(dist) < cfg.th_dist)
-            & (z < -cfg.sensor_height + cfg.radar_height_gate)
+            & (z < -sh + cfg.radar_height_gate)
         )
 
-    # --- patch classification (uprightness + elevation A-GLE) + TGR --------
+    # --- patch classification (uprightness + per-ring elevation A-GLE) + TGR
+    # Mirrors the decision chain at `patchworkpp.hpp:780-826` with the stats
+    # of `:756-760`: flatness = smallest cov eigenvalue, line_variable =
+    # largest/middle, heading = mean . normal.
+    flat = evals[:, 0]
+    line_var = evals[:, 2] / jnp.maximum(evals[:, 1], 1e-12)
+    heading_out = jnp.einsum("pi,pi->p", mean, normal) < 0.0
     upright = jnp.abs(normal[:, 2]) > cfg.uprightness_thr
     enough = cnt >= cfg.num_min_pts
+
+    R = cfg.num_rings_of_interest
+    ring_idx = jnp.asarray(ring_of_patch(cfg))  # (P,) static
+    near = ring_idx < R
+    ring_roi = jnp.clip(ring_idx, 0, R - 1)
     if agle is not None:
-        warm = agle.count[0] > 10
-        elev_thr = jnp.where(warm, agle.elevation_thr[0], -cfg.sensor_height + 1.0)
-        # TGR (`temporal_ground_revert`, `:952-1010`): patches failing the
-        # elevation gate are reverted to ground when flatter than the adaptive
-        # flatness threshold (mean+std of recent ground-patch flatness)
-        flat_thr = jnp.where(warm, agle.flatness_thr[0], 0.0)
+        elev_thr_p = agle.elevation_thr.astype(dtype)[ring_roi]
+        flat_thr_p = agle.flatness_thr.astype(dtype)[ring_roi]
     else:
-        elev_thr = -cfg.sensor_height + 1.0
-        flat_thr = jnp.zeros((), dtype)
-    elev_ok = mean[:, 2] < elev_thr
-    tgr_revert = upright & enough & ~elev_ok & (flat < flat_thr)
-    patch_is_ground = (upright & enough & elev_ok) | tgr_revert
+        elev_thr_p = jnp.full((P,), 1.0 - cfg.sensor_height, dtype)
+        flat_thr_p = jnp.zeros((P,), dtype)
+    not_elev = mean[:, 2] < elev_thr_p
+    is_flat = flat < flat_thr_p
+
+    # A-GLE storage mask (`:794-800`): upright near-zone patches passing the
+    # elevation gate feed the per-ring threshold update + ringwise flatness
+    stored = upright & enough & not_elev & near
+
+    # decision chain (`:803-826`)
+    patch_is_ground = upright & enough & (~near | (heading_out & (not_elev | is_flat)))
+    candidate = upright & enough & near & heading_out & ~(not_elev | is_flat)
+
+    if cfg.enable_TGR:
+        # temporal ground revert (`:952-1010`): per-ring mean/std of this
+        # frame's stored flatness; sigmoid revert probability, line-gate
+        n_r = jax.ops.segment_sum(stored.astype(dtype), ring_roi, num_segments=R)
+        f_sum = jax.ops.segment_sum(jnp.where(stored, flat, 0.0), ring_roi, num_segments=R)
+        f_mean = f_sum / jnp.maximum(n_r, 1.0)
+        f_sq = jax.ops.segment_sum(
+            jnp.where(stored, (flat - f_mean[ring_roi]) ** 2, 0.0), ring_roi, num_segments=R
+        )
+        f_std = jnp.sqrt(f_sq / jnp.maximum(n_r - 1.0, 1.0))
+        mu = f_mean + 1.5 * f_std  # (`:980`)
+        mu_p = mu[ring_roi]
+        prob_flat = 1.0 / (1.0 + jnp.exp((flat - mu_p) / jnp.maximum(mu_p / 10.0, 1e-12)))
+        # big flat patches always revert (`:983`)
+        prob_flat = jnp.where(
+            (cnt > 1500.0) & (flat < cfg.th_dist**2), 1.0, prob_flat
+        )
+        prob_line = jnp.where(line_var > cfg.line_variable_thresh, 0.0, 1.0)  # (`:986-990`)
+        tgr_revert = candidate & (n_r[ring_roi] > 0) & (prob_line * prob_flat > 0.5)
+        patch_is_ground = patch_is_ground | tgr_revert
     ground = ground & patch_is_ground[jnp.clip(pid, 0, P - 1)]
 
     # --- Go-RIO whole-ground covariance-weighted refinement ----------------
@@ -256,30 +351,68 @@ def estimate_ground(
         patch_mean_z=mean[:, 2],
         patch_valid=patch_is_ground,
         patch_flatness=flat,
+        patch_stored=stored,
     )
 
 
-def update_agle(state: AGLEState, result: GroundSegResult, decay: float = 0.95) -> AGLEState:
-    """EMA counterpart of the reference's elevation/flatness storage
-    (`update_elevation_thr`: thr = mean + 3*std, `:894-922`;
-    `update_flatness_thr`: thr = mean + std, `:925-950` — the reference keeps
-    bounded per-ring sample vectors; an EMA over per-frame statistics is the
-    fixed-memory equivalent)."""
-    valid = result.patch_valid
-    n_valid = jnp.maximum(jnp.sum(valid), 1)
-    mz = jnp.where(valid, result.patch_mean_z, 0.0)
-    mean_z = jnp.sum(mz) / n_valid
-    var_z = jnp.sum(jnp.where(valid, (result.patch_mean_z - mean_z) ** 2, 0.0)) / n_valid
-    new_elev = mean_z + 3.0 * jnp.sqrt(var_z)
-    mf = jnp.where(valid, result.patch_flatness, 0.0)
-    mean_f = jnp.sum(mf) / n_valid
-    var_f = jnp.sum(jnp.where(valid, (result.patch_flatness - mean_f) ** 2, 0.0)) / n_valid
-    new_flat = mean_f + jnp.sqrt(var_f)
-    warm = state.count[0] > 0
-    elev = jnp.where(warm, decay * state.elevation_thr[0] + (1 - decay) * new_elev, new_elev)
-    flat = jnp.where(warm, decay * state.flatness_thr[0] + (1 - decay) * new_flat, new_flat)
+@partial(jax.jit, static_argnames=("cfg",))
+def update_agle(
+    state: AGLEState,
+    result: GroundSegResult,
+    cfg: GroundSegConfig = GroundSegConfig(),
+    decay: float = 0.95,
+) -> AGLEState:
+    """Per-ring EMA counterpart of the reference's elevation/flatness storage
+    (`update_elevation_thr`, `patchworkpp.hpp:894-922`: ring 0 thr = mean +
+    3*std and sensor_height = -mean, rings 1+ thr = mean + 2*std;
+    `update_flatness_thr`, `:925-950`: thr = mean + std). Rings with no
+    stored patches this frame keep their previous state (the reference's
+    `continue` on an empty buffer)."""
+    R = cfg.num_rings_of_interest
+    dtype = state.elev_mean.dtype
+    ring_idx = jnp.asarray(ring_of_patch(cfg))
+    ring_roi = jnp.clip(ring_idx, 0, R - 1)
+    stored = result.patch_stored & (ring_idx < R)
+
+    def ring_stats(vals):
+        n_r = jax.ops.segment_sum(stored.astype(dtype), ring_roi, num_segments=R)
+        s = jax.ops.segment_sum(jnp.where(stored, vals, 0.0).astype(dtype), ring_roi, num_segments=R)
+        m = s / jnp.maximum(n_r, 1.0)
+        sq = jax.ops.segment_sum(
+            jnp.where(stored, (vals.astype(dtype) - m[ring_roi]) ** 2, 0.0), ring_roi, num_segments=R
+        )
+        v = sq / jnp.maximum(n_r, 1.0)
+        return n_r, m, v
+
+    n_r, em, ev = ring_stats(result.patch_mean_z)
+    _, fm, fv = ring_stats(result.patch_flatness)
+
+    has = n_r > 0
+    warm = state.count > 0
+    blend = jnp.where(warm, decay, 0.0)
+
+    def ema(old, new):
+        return jnp.where(has, blend * old + (1.0 - blend) * new, old)
+
+    elev_mean = ema(state.elev_mean, em)
+    elev_var = ema(state.elev_var, ev)
+    flat_mean = ema(state.flat_mean, fm)
+    flat_var = ema(state.flat_var, fv)
+    count = state.count + has.astype(dtype)
+
+    k_elev = jnp.where(jnp.arange(R) == 0, 3.0, 2.0).astype(dtype)
+    elev_thr = jnp.where(
+        count > 0, elev_mean + k_elev * jnp.sqrt(elev_var), state.elevation_thr
+    )
+    flat_thr = jnp.where(count > 0, flat_mean + jnp.sqrt(flat_var), state.flatness_thr)
+    sensor_h = jnp.where(count[0] > 0, -elev_mean[0], state.sensor_height)
     return AGLEState(
-        elevation_thr=jnp.full_like(state.elevation_thr, elev),
-        flatness_thr=jnp.full_like(state.flatness_thr, flat),
-        count=state.count + 1,
+        elevation_thr=elev_thr,
+        flatness_thr=flat_thr,
+        elev_mean=elev_mean,
+        elev_var=elev_var,
+        flat_mean=flat_mean,
+        flat_var=flat_var,
+        count=count,
+        sensor_height=sensor_h,
     )

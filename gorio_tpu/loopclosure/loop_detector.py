@@ -25,7 +25,14 @@ from .scancontext import ScanContextConfig, ScanContextDB, detect_loop, make_sca
 
 
 class LoopConfig(NamedTuple):
-    """Defaults mirror `loop_detector.hpp` params + ntu launch values."""
+    """Defaults mirror `loop_detector.hpp` params + ntu launch values.
+
+    `distance_thresh` has no gating effect in the reference either — its only
+    live use is the rviz candidate-sphere radius
+    (`radar_graph_slam_nodelet.cpp:1114`; the `detect` comparison at
+    `loop_detector.cpp:112` is a stray-semicolon no-op) — exported by
+    `RadarGraphSLAM.export_markers` as `loop_search_radius`.
+    """
 
     distance_thresh: float = 15.0
     accum_distance_thresh: float = 25.0
@@ -84,15 +91,22 @@ def _rot_angle_np(R) -> float:
 
 
 def candidate_gates_np(new_pos, new_yaw, new_accum, old_pos, old_yaw, old_accum,
-                       dist_since_last_loop, cfg: LoopConfig) -> bool:
+                       dist_since_last_loop, cfg: LoopConfig,
+                       new_alt=None, old_alt=None) -> bool:
     """`find_candidates` gates (`loop_detector.cpp:139-189`):
-    accumulated-distance, yaw-difference, and both drift-scaled ellipses
-    (since-last-loop + accumulated-distance). Scalar numpy on purpose: these
-    run per candidate in the host-side accept chain, where a device dispatch
-    per check would dominate (see `detect_batch`)."""
+    accumulated-distance, barometer-altitude difference (`:155-157`),
+    yaw-difference, and both drift-scaled ellipses (since-last-loop +
+    accumulated-distance). Scalar numpy on purpose: these run per candidate in
+    the host-side accept chain, where a device dispatch per check would
+    dominate (see `detect_batch`)."""
     accum_d = new_accum - old_accum
     if accum_d <= cfg.accum_distance_thresh:
         return False
+    # barometer gate: only when the OLD keyframe carries an altitude (the
+    # reference checks `k->altitude.is_initialized()` alone, `:156`)
+    if old_alt is not None and new_alt is not None:
+        if abs(float(old_alt) - float(new_alt)) > cfg.max_baro_difference:
+            return False
     yaw_diff = abs((new_yaw - old_yaw + np.pi) % (2 * np.pi) - np.pi)
     if np.rad2deg(yaw_diff) >= cfg.max_yaw_difference_deg:
         return False
@@ -157,6 +171,7 @@ class LoopDetector:
         keyframe_poses,
         keyframe_odoms,
         keyframe_accum,
+        keyframe_altitudes=None,
     ) -> Optional[Loop]:
         """Run the full gate chain for one new keyframe (whose descriptor must
         already be in the DB at `new_index`)."""
@@ -179,9 +194,12 @@ class LoopDetector:
             return None
         yaw_new = np.arctan2(poses[new_index][1, 0], poses[new_index][0, 0])
         yaw_old = np.arctan2(poses[match][1, 0], poses[match][0, 0])
+        alts = keyframe_altitudes
         if not candidate_gates_np(
             poses[new_index][:3, 3], yaw_new, new_accum,
             poses[match][:3, 3], yaw_old, accum[match], dist_since, cfg,
+            new_alt=None if alts is None else alts[new_index],
+            old_alt=None if alts is None else alts[match],
         ):
             return None
 
@@ -236,6 +254,7 @@ class LoopDetector:
         keyframe_poses,
         keyframe_odoms,
         keyframe_accum,
+        keyframe_altitudes=None,
     ) -> list:
         """Batched `detect` over many new keyframes: ONE vmapped Scan-Context
         matching dispatch for the whole batch, ONE vmapped registration +
@@ -280,6 +299,8 @@ class LoopDetector:
             if not candidate_gates_np(
                 poses[i][:3, 3], yaw_all[i], accum[i],
                 poses[m][:3, 3], yaw_all[m], accum[m], dist_since0, cfg,
+                new_alt=None if keyframe_altitudes is None else keyframe_altitudes[i],
+                old_alt=None if keyframe_altitudes is None else keyframe_altitudes[m],
             ):
                 continue
             pairs.append((i, m))
@@ -327,6 +348,8 @@ class LoopDetector:
             if not candidate_gates_np(
                 poses[i][:3, 3], yaw_all[i], new_accum,
                 poses[m][:3, 3], yaw_all[m], accum[m], dist_since, cfg,
+                new_alt=None if keyframe_altitudes is None else keyframe_altitudes[i],
+                old_alt=None if keyframe_altitudes is None else keyframe_altitudes[m],
             ):
                 continue
             T_rel = Ts[n]

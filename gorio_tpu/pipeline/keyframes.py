@@ -27,6 +27,7 @@ class KeyFrame:
     cloud: PointCloud
     odom_scan2map: Optional[np.ndarray] = None
     utm_coord: Optional[np.ndarray] = None
+    altitude: Optional[float] = None  # barometer altitude (`keyframe.hpp:52`)
     floor_coeffs: Optional[np.ndarray] = None  # (4,) plane, `keyframe.cpp:38-40`
     acceleration: Optional[np.ndarray] = None  # (3,), `keyframe.cpp:46-48`
     orientation: Optional[np.ndarray] = None  # (4,) quat wxyz, `keyframe.cpp:50-52`
@@ -52,6 +53,8 @@ class KeyFrame:
                 fh.write("floor_coeffs " + " ".join(map(str, self.floor_coeffs)) + "\n")
             if self.utm_coord is not None:
                 fh.write("utm_coord " + " ".join(map(str, self.utm_coord)) + "\n")
+            if self.altitude is not None:
+                fh.write(f"altitude {self.altitude}\n")
             if self.acceleration is not None:
                 fh.write("acceleration " + " ".join(map(str, self.acceleration)) + "\n")
             if self.orientation is not None:
@@ -70,7 +73,7 @@ class KeyFrame:
     def load(cls, directory: str) -> "KeyFrame":
         """Parity: `KeyFrame::load` (`keyframe.cpp:61-146`)."""
         stamp, est, odom, accum, idx, utm = 0.0, np.eye(4), np.eye(4), 0.0, 0, None
-        floor, acc, orient = None, None, None
+        floor, acc, orient, alt = None, None, None, None
         with open(os.path.join(directory, "data")) as fh:
             lines = fh.read().splitlines()
         i = 0
@@ -88,6 +91,8 @@ class KeyFrame:
                 accum = float(tok[1])
             elif tok[0] == "utm_coord":
                 utm = np.array([float(v) for v in tok[1:]])
+            elif tok[0] == "altitude":
+                alt = float(tok[1])
             elif tok[0] == "floor_coeffs":
                 floor = np.array([float(v) for v in tok[1:]])
             elif tok[0] == "acceleration":
@@ -105,6 +110,7 @@ class KeyFrame:
         kf = cls(index=idx, stamp=stamp, odom_scan2scan=odom, accum_distance=accum, cloud=cloud)
         kf.optimized_pose = est
         kf.utm_coord = utm
+        kf.altitude = alt
         kf.floor_coeffs = floor
         kf.acceleration = acc
         kf.orientation = orient

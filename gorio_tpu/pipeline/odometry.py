@@ -44,6 +44,13 @@ class OdometryConfig(NamedTuple):
     # loose IMU roll/pitch fusion at keyframe acceptance (`:135-138`, `:580`)
     enable_imu_fusion: bool = False
     imu_fusion_ratio: float = 0.1
+    # external fused-pose (MSF) hook in the motion guess (`:83-84`, `:450-462`:
+    # guess = prev_trans_s2s * egovel_cum * msf_delta)
+    enable_imu_frontend: bool = False
+    # ScanMatchingStatus.inlier_fraction (`:677-689`): fraction of aligned
+    # source points with a target NN closer than max_correspondence_dist
+    compute_inlier_fraction: bool = True
+    inlier_max_correspondence_dist: float = 0.5
     scan_period: float = 0.1
     registration: str = "apdgicp"  # "apdgicp" | "gicp" | "ndt"
     gicp: GICPConfig = GICPConfig()
@@ -96,6 +103,18 @@ def _rpy_to_mat(roll, pitch, yaw):
 # ONE packed (capacity, 5) array + ONE small state vector, dispatches ONE
 # program, and pulls T + a 9-float stats vector.
 # ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def _inlier_fraction(src_xyz, src_mask, tgt_xyz, tgt_mask, T, max_dist):
+    """`publish_scan_matching_status` inlier count (`:677-689`): aligned
+    source points whose 1-NN in the target is within max_correspondence_dist."""
+    from ..registration.knn import nn1
+
+    moved = src_xyz @ T[:3, :3].T + T[:3, 3]
+    _, d2 = nn1(moved, tgt_xyz, tgt_mask)
+    inl = (d2 < max_dist * max_dist) & src_mask
+    return jnp.sum(inl) / jnp.maximum(jnp.sum(src_mask), 1)
 
 
 def _cloud_from_packed(packed, count):
@@ -165,7 +184,9 @@ def fused_frontend_step(
     """One jitted program: [full preprocessing ->] Doppler ego-velocity RANSAC
     -> cumulative motion guess (`guess = prev_trans * egovel_cum`, `:458-462`)
     -> scan-to-keyframe registration. `host_state` = [prev_trans.ravel() (16),
-    count, dt, seed, frame_idx, omega (3)] (23,)."""
+    count, dt, seed, frame_idx, omega (3)] (23,), optionally extended with the
+    external MSF pose delta [23:39] (`guess = prev_trans * egovel_cum *
+    msf_delta`, `:458-462`)."""
     dtype = packed.dtype
     prev_trans = host_state[:16].reshape(4, 4)
     dt = host_state[17]
@@ -177,6 +198,8 @@ def fused_frontend_step(
     cum_ok = jnp.linalg.norm(step_T[:3, 3]) <= cfg.max_egovel_cum
     egovel_cum = jnp.where(cum_ok, step_T, jnp.eye(4, dtype=dtype))
     guess = prev_trans @ egovel_cum
+    if host_state.shape[0] >= 39:
+        guess = guess @ host_state[23:39].reshape(4, 4)
 
     if cfg.registration == "ndt":
         res = ndt_align(cloud, kf_cloud, init_T=guess, cfg=cfg.ndt)
@@ -192,6 +215,12 @@ def fused_frontend_step(
         ego.sigma.astype(dtype),
         ego.zero_velocity.astype(dtype)[None],
     ] + ground_parts
+    if cfg.compute_inlier_fraction:
+        frac = _inlier_fraction(
+            cloud.xyz, cloud.mask, kf_cloud.xyz, kf_cloud.mask, res.T,
+            jnp.asarray(cfg.inlier_max_correspondence_dist, dtype),
+        )
+        parts.append(frac.astype(dtype)[None])
     return FusedStepOut(host=jnp.concatenate(parts), cloud=cloud)
 
 
@@ -219,13 +248,16 @@ def fused_ingest(
 
 
 class OdometryStatus(NamedTuple):
-    """Parity: `ScanMatchingStatus.msg` fields we can fill."""
+    """Parity: `ScanMatchingStatus.msg` (all fields; `msg/ScanMatchingStatus.msg`,
+    filled at `scan_matching_odometry_nodelet.cpp:666-703`)."""
 
     converged: bool
     matching_error: float
+    inlier_fraction: float  # NN-within-0.5m fraction (`:677-689`); NaN if off
     relative_pose: np.ndarray
     prediction_error: Optional[np.ndarray]
     used_prediction: bool
+    prediction_label: str = ""  # "" | "imu" (msf) — `prediction_labels` (`:693-702`)
 
 
 @dataclass
@@ -248,6 +280,34 @@ class ScanMatchingOdometry:
     # first IMU sample (yaw zeroed), parity `:196-203`
     _imu_rp: list = field(default_factory=list)
     _global_orient: Optional[np.ndarray] = None
+    # external MSF fused poses (stamp, T): `msf_pose_callback` (`:392-397`)
+    _msf_pose: Optional[tuple] = None
+    _msf_pose_after_update: Optional[tuple] = None
+
+    def push_msf_pose(self, t: float, T: np.ndarray, after_update: bool = False) -> None:
+        """Feed an externally fused pose (e.g. an MSF/EKF front-end); mirrors
+        the `/msf_core/pose[_after_update]` subscriptions (`:83-84`). Used in
+        the motion guess only when `cfg.enable_imu_frontend`."""
+        if after_update:
+            self._msf_pose_after_update = (float(t), np.asarray(T, np.float64))
+        else:
+            self._msf_pose = (float(t), np.asarray(T, np.float64))
+
+    def _msf_delta(self) -> tuple:
+        """delta = pose_after_update^-1 @ pose (the hdl_graph_slam rule the
+        hook descends from), valid only when both stamps postdate the current
+        keyframe; returns (4x4, label)."""
+        if (
+            not self.cfg.enable_imu_frontend
+            or self._msf_pose is None
+            or self._msf_pose_after_update is None
+        ):
+            return np.eye(4), ""
+        t1, pose = self._msf_pose
+        t0, pose0 = self._msf_pose_after_update
+        if t1 <= self.keyframe_stamp or t0 <= self.keyframe_stamp:
+            return np.eye(4), ""
+        return np.linalg.inv(pose0) @ pose, "imu"
 
     def push_imu(self, t: float, quat_wxyz) -> None:
         """Feed an IMU orientation sample (world frame, [w,x,y,z]); mirrors
@@ -346,7 +406,7 @@ class ScanMatchingOdometry:
         `last_ground_count` / `last_plane` for the floor constraint.
         Scan-to-submap mode is not fused — use `step` for that."""
         self._frame_idx = getattr(self, "_frame_idx", -1) + 1
-        state = np.zeros(23, packed.dtype)
+        state = np.zeros(39, packed.dtype)
         state[:16] = self.prev_trans_s2s.ravel()
         state[16] = count
         state[17] = 0.0 if self.last_stamp is None else stamp - self.last_stamp
@@ -354,6 +414,8 @@ class ScanMatchingOdometry:
         state[19] = self._frame_idx
         if omega is not None:
             state[20:23] = omega  # latest gyro sample for fused deskew
+        msf_delta, msf_label = self._msf_delta()
+        state[23:39] = msf_delta.ravel()
         packed_dev = jnp.asarray(packed)
         state_dev = jnp.asarray(state)
 
@@ -423,9 +485,11 @@ class ScanMatchingOdometry:
             OdometryStatus(
                 converged=bool(converged),
                 matching_error=float(host[17]),
+                inlier_fraction=float(host[-1]) if self.cfg.compute_inlier_fraction else float("nan"),
                 relative_pose=delta,
                 prediction_error=diff,
                 used_prediction=used_prediction,
+                prediction_label=msf_label,
             )
         )
         self.prev_trans_s2s = T
@@ -473,9 +537,20 @@ class ScanMatchingOdometry:
             egovel_cum = self.egovel_cum  # guard (`:364`)
         self.egovel_cum = egovel_cum
 
-        guess = self.prev_trans_s2s @ self.egovel_cum
+        msf_delta, msf_label = self._msf_delta()
+        guess = self.prev_trans_s2s @ self.egovel_cum @ msf_delta
         res = self._align(cloud, self.keyframe_cloud, guess)
         T = np.asarray(res.T)
+        if self.cfg.compute_inlier_fraction:
+            inlier_frac = float(
+                _inlier_fraction(
+                    cloud.xyz, cloud.mask, self.keyframe_cloud.xyz,
+                    self.keyframe_cloud.mask, res.T,
+                    jnp.asarray(self.cfg.inlier_max_correspondence_dist, cloud.xyz.dtype),
+                )
+            )
+        else:
+            inlier_frac = float("nan")
 
         # sanity thresholding vs the ego-velocity prediction (`:497-570`)
         delta = np.linalg.inv(self.prev_trans_s2s) @ T
@@ -502,9 +577,11 @@ class ScanMatchingOdometry:
             OdometryStatus(
                 converged=bool(res.converged),
                 matching_error=float(res.error),
+                inlier_fraction=inlier_frac,
                 relative_pose=delta,
                 prediction_error=diff,
                 used_prediction=used_prediction,
+                prediction_label=msf_label,
             )
         )
 

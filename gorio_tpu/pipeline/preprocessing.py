@@ -85,7 +85,7 @@ def preprocess_frame(
         cloud = filter_cloud(cloud, ~seg.removed_mask)
         ground_mask = seg.ground_mask
         plane = seg.plane
-        new_agle = update_agle(agle, seg) if agle is not None else None
+        new_agle = update_agle(agle, seg, cfg.groundseg) if agle is not None else None
     else:
         ground_mask = jnp.zeros(cloud.capacity, bool)
         plane = jnp.asarray([0.0, 0.0, 1.0, 0.0], cloud.xyz.dtype)

@@ -74,6 +74,17 @@ class SLAMConfig(NamedTuple):
     loop_robust_delta: float = 1.0  # Huber on loop edges (`:836-852`)
     gps_xy_info: float = 25.0
     gps_z_info: float = 4.0
+    # GPS edge gate chain (`flush_gps_queue`, `radar_graph_slam_nodelet.cpp:
+    # 1248-1327`): minimum keyframe spacing between edges (`:1259`),
+    # covariance gates (`:1293`; the reference compares the raw covariance
+    # entries against the *stddev* params — replicated as-is), and the 5 m
+    # drift gate (`:1303-1304`: an edge is only added once the estimate has
+    # drifted >5 m from the fix)
+    gps_edge_intervals: int = 10
+    max_gps_edge_stddev_xy: float = 1.0
+    max_gps_edge_stddev_z: float = 2.0
+    gps_residual_skip_dist: float = 5.0
+    gps_robust_delta: float = np.inf  # launch files use Huber 1.0 (`ntu_cp.launch:163`)
     anchor_info: float = 1e6
     solve: SolveConfig = SolveConfig(max_iterations=30)
     # floor constraint: keyframe ground-plane observations tied to one world
@@ -99,6 +110,7 @@ class GPSMeasurement(NamedTuple):
     stamp: float
     xyz: np.ndarray  # world/UTM-aligned position
     has_z: bool
+    cov: Optional[np.ndarray] = None  # (3,) position covariance diagonal
 
 
 @dataclass
@@ -137,8 +149,10 @@ class RadarGraphSLAM:
         self.vel_t.append(float(t))
         self.vel.append(np.asarray(vel))
 
-    def push_gps(self, t: float, xyz, has_z: bool = True):
-        self.gps_queue.append(GPSMeasurement(t, np.asarray(xyz), has_z))
+    def push_gps(self, t: float, xyz, has_z: bool = True, cov=None):
+        self.gps_queue.append(
+            GPSMeasurement(t, np.asarray(xyz), has_z, None if cov is None else np.asarray(cov))
+        )
 
     def push_nmea(self, t: float, sentence: str, converter=None):
         """NMEA -> UTM -> world prior (parity: nmea_callback + flush_gps_queue)."""
@@ -164,6 +178,7 @@ class RadarGraphSLAM:
         cloud: PointCloud,
         odom_pose: np.ndarray,
         floor_coeffs: Optional[np.ndarray] = None,
+        altitude: Optional[float] = None,
     ) -> bool:
         if not self.updater.decide(odom_pose, stamp):
             return False
@@ -174,6 +189,7 @@ class RadarGraphSLAM:
             accum_distance=self.updater.accum_distance,
             cloud=cloud,
             floor_coeffs=None if floor_coeffs is None else np.asarray(floor_coeffs),
+            altitude=None if altitude is None else float(altitude),
         )
         if self.cfg.enable_preintegration and self.keyframes:
             prev = self.keyframes[-1]
@@ -230,6 +246,59 @@ class RadarGraphSLAM:
         T[:3, 3] = out[9:12]
         return T, out[12:48].reshape(6, 6)
 
+    def _flush_gps_queue(self, est) -> None:
+        """Associate queued GPS fixes to keyframes and apply the reference's
+        gate chain (`flush_gps_queue`, `radar_graph_slam_nodelet.cpp:1248-1327`):
+
+        * keyframe spacing: `index - last_gps_edge_index >= gps_edge_intervals`
+        * closest-fix association within 0.2 s
+        * covariance gate (raw covariance vs the `max_gps_edge_stddev_*`
+          params — the reference's literal comparison)
+        * `utm_coord` set once per keyframe (a gated keyframe is not retried)
+        * 5 m drift gate: the edge only activates when the current estimate
+          has drifted `gps_residual_skip_dist` from the fix
+
+        Consumed fixes older than the newest keyframe are dropped (`:1322`).
+        """
+        if not self.gps_queue or not self.keyframes:
+            return
+        cfg = self.cfg
+        q_stamps = np.asarray([g.stamp for g in self.gps_queue])
+        last_idx = getattr(self, "_last_gps_edge_index", -(10**9))
+        for kf in self.keyframes:
+            if kf.index - last_idx < cfg.gps_edge_intervals:
+                continue
+            if kf.utm_coord is not None:
+                continue
+            j = int(np.argmin(np.abs(q_stamps - kf.stamp)))
+            gps = self.gps_queue[j]
+            if abs(gps.stamp - kf.stamp) > 0.2:
+                continue
+            if gps.cov is not None:
+                cx, cy, cz = (float(v) for v in gps.cov)
+                if (
+                    cx > cfg.max_gps_edge_stddev_xy
+                    or cy > cfg.max_gps_edge_stddev_xy
+                    or cz > cfg.max_gps_edge_stddev_z
+                ):
+                    continue
+            kf.utm_coord = np.asarray(gps.xyz)
+            kf._gps_has_z = bool(gps.has_z) and np.isfinite(gps.xyz[2])
+            resid = np.linalg.norm(est(kf)[:3, 3] - np.asarray(gps.xyz))
+            if resid < cfg.gps_residual_skip_dist:
+                kf._gps_edge = False
+                continue
+            if gps.cov is not None:
+                info = 1.0 / np.maximum(np.asarray(gps.cov, float), 1e-12)
+            else:
+                info = np.asarray([cfg.gps_xy_info, cfg.gps_xy_info, cfg.gps_z_info])
+            kf._gps_edge = True
+            kf._gps_info = info
+            last_idx = kf.index
+        self._last_gps_edge_index = last_idx
+        newest = self.keyframes[-1].stamp
+        self.gps_queue = [g for g in self.gps_queue if g.stamp > newest]
+
     # ---- optimization cycle (`optimization_timer_callback`, `:750-834`) --
     def optimize(self, window: Optional[int] = None) -> Optional[np.ndarray]:
         """One graph-optimization cycle.
@@ -280,13 +349,15 @@ class RadarGraphSLAM:
             odom_arr = np.stack([kf.odom_scan2scan for kf in self.keyframes])
             accum_arr = np.asarray([kf.accum_distance for kf in self.keyframes])
             clouds = [kf.cloud for kf in self.keyframes]
+            alts = [kf.altitude for kf in self.keyframes]
             start = getattr(self, "_loop_checked_upto", 0)
             new_idx = [kf.index for kf in self.keyframes[start:]]
             chunk = max(self.cfg.max_keyframes_per_update, 1)
             for c in range(0, len(new_idx), chunk):
                 self.loops.extend(
                     self.loop_detector.detect_batch(
-                        new_idx[c : c + chunk], clouds, poses_arr, odom_arr, accum_arr
+                        new_idx[c : c + chunk], clouds, poses_arr, odom_arr, accum_arr,
+                        keyframe_altitudes=alts,
                     )
                 )
             self._loop_checked_upto = K
@@ -308,17 +379,18 @@ class RadarGraphSLAM:
                     info=loop.information, robust_delta=self.cfg.loop_robust_delta,
                 )
 
-        # GPS priors (`flush_gps_queue`, `:1248-1327`): associate by stamp
-        stamps = np.asarray([kf.stamp for kf in kfs])
-        for gps in self.gps_queue:
-            k = int(np.argmin(np.abs(stamps - gps.stamp)))
-            if abs(stamps[k] - gps.stamp) > 0.2:
+        # GPS priors (`flush_gps_queue`, `:1248-1327`): associate by stamp,
+        # then run the reference's gate chain (edge spacing, covariance gate,
+        # 5 m drift gate) — keyframes that pass carry a persistent utm_coord
+        self._flush_gps_queue(est)
+        for k, kf in enumerate(kfs):
+            if kf.utm_coord is None or not getattr(kf, "_gps_edge", False):
                 continue
-            axes = (1, 1, 1) if gps.has_z else (1, 1, 0)
-            info3 = np.diag(
-                [self.cfg.gps_xy_info, self.cfg.gps_xy_info, self.cfg.gps_z_info]
+            axes = (1, 1, 1) if kf._gps_has_z else (1, 1, 0)
+            g.add_point_prior(
+                k, kf.utm_coord, info=np.diag(kf._gps_info), axes=axes,
+                robust_delta=self.cfg.gps_robust_delta,
             )
-            g.add_point_prior(k, gps.xyz, info=info3, axes=axes)
 
         # floor constraint: tie keyframe ground-plane observations to one
         # world floor plane vertex (EdgeSE3Plane; hdl-heritage floor_coeffs)
@@ -419,7 +491,14 @@ class RadarGraphSLAM:
         for k in range(1, len(kfs)):
             prev, curr = kfs[k - 1], kfs[k]
             rel = np.linalg.inv(prev.odom_scan2scan) @ curr.odom_scan2scan
-            g.add_between(k - 1, k, rel, info=np.eye(6) * 100.0)
+            # the SAME fitness-based information the GN graph uses (`optimize`)
+            # — the sampled posterior must be the posterior of that graph
+            if curr.edge_info is None:
+                info, _ = calc_information_matrix(
+                    curr.cloud, prev.cloud, jnp.asarray(rel), self.cfg.info
+                )
+                curr.edge_info = np.asarray(info)
+            g.add_between(k - 1, k, rel, info=curr.edge_info)
             if curr.trans_integrated is not None:
                 var = np.clip(np.diag(curr.preint_cov), 1e-6, None)
                 g.add_between(k - 1, k, curr.trans_integrated, info=np.diag(1.0 / var))
@@ -478,6 +557,9 @@ class RadarGraphSLAM:
                 {"from": int(l.key_old), "to": int(l.key_new), "fitness": float(l.fitness)}
                 for l in self.loops
             ],
+            # candidate-search sphere radius (the reference's only live use of
+            # distance_thresh, `radar_graph_slam_nodelet.cpp:1114`)
+            "loop_search_radius": float(self.cfg.loop.distance_thresh) * 2.0,
         }
         with open(path, "w") as fh:
             json.dump(data, fh, indent=1)

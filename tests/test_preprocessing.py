@@ -63,14 +63,55 @@ def test_underground_artifacts_removed():
 
 
 def test_agle_update():
-    cloud, _ = _scene(seed=2)
-    st = AGLEState.init()
-    res = estimate_ground(cloud, GroundSegConfig(), st)
-    st2 = update_agle(st, res)
-    assert float(st2.count[0]) == 1
-    assert np.isfinite(float(st2.elevation_thr[0]))
-    # threshold should hover near the ground height
-    assert -1.2 < float(st2.elevation_thr[0]) < 0.5
+    cloud, _ = _scene(seed=2, n_ground=2000)
+    cfg = GroundSegConfig()
+    st = AGLEState.init(cfg=cfg)
+    res = estimate_ground(cloud, cfg, st)
+    st2 = update_agle(st, res, cfg)
+    counts = np.asarray(st2.count)
+    assert counts.sum() >= 1  # at least one ring of interest saw ground
+    for r in np.nonzero(counts)[0]:
+        thr = float(st2.elevation_thr[r])
+        assert np.isfinite(thr)
+        # threshold should hover near the ground height
+        assert -1.2 < thr < 0.5, (r, thr)
+    # rings with no stored patches keep the cold threshold
+    cold = 1.0 - cfg.sensor_height
+    for r in np.nonzero(counts == 0)[0]:
+        np.testing.assert_allclose(float(st2.elevation_thr[r]), cold)
+
+
+def test_agle_per_ring_independence():
+    """Per-ring A-GLE (`patchworkpp.hpp:894-950`): feeding ring 1 a higher
+    ground surface than ring 0 must raise ring 1's threshold independently."""
+    from gorio_tpu.core.pointcloud import make_cloud
+    from gorio_tpu.estimators.groundseg import ring_of_patch
+
+    cfg = GroundSegConfig(sensor_height=0.7)
+    # zone 0 spans r in [min_range, (7*min+max)/8); its 4 rings split evenly
+    lo, hi = cfg.min_range, (7 * cfg.min_range + cfg.max_range) / 8.0
+    edges = np.linspace(lo, hi, 5)
+    rng = np.random.default_rng(0)
+    pts = []
+    for r_idx, z0 in [(0, -0.7), (1, -0.45)]:  # ring 1 sits 25 cm higher
+        for _ in range(600):
+            rr = rng.uniform(edges[r_idx] + 0.05, edges[r_idx + 1] - 0.05)
+            th = rng.uniform(0, 2 * np.pi)
+            pts.append([rr * np.cos(th), rr * np.sin(th), z0 + 0.02 * rng.normal()])
+    cloud = make_cloud(np.asarray(pts), intensity=10 + np.zeros(len(pts)))
+    st = AGLEState.init(cfg=cfg)
+    res = estimate_ground(cloud, cfg, st)
+    st2 = update_agle(st, res, cfg)
+    assert float(st2.count[0]) == 1 and float(st2.count[1]) == 1
+    # ring thresholds track their own ring's elevation
+    assert float(st2.elev_mean[1]) > float(st2.elev_mean[0]) + 0.15
+    assert float(st2.elevation_thr[1]) > float(st2.elevation_thr[0])
+    # sensor height re-estimated from ring 0 (`:903-905`)
+    np.testing.assert_allclose(float(st2.sensor_height), 0.7, atol=0.1)
+    # ring indices are a static property of the config
+    rop = ring_of_patch(cfg)
+    assert rop.shape == (cfg.num_patches,)
+    assert rop.min() == 0 and rop.max() == cfg.num_rings - 1
 
 
 def test_dbscan_two_clusters():
