@@ -70,14 +70,18 @@ def test_ugpm_close_to_lpm():
 
 
 def test_ugpm_covariance_calibration():
-    """Monte-Carlo: preintegrate many noisy draws of the same window; the
-    empirical spread of the rotation/position errors should be within an
-    order of magnitude of the reported covariance."""
+    """Monte-Carlo chi-square calibration: whiten each trial's 6-dof error by
+    its own reported covariance; the summed squared Mahalanobis norm over 8
+    trials is ~chi2(48) if the covariance is calibrated. Measured (24-trial
+    probe): mean per-trial chi2 = 7.1 vs the ideal 6. The band [20, 100] on
+    the 8-trial total catches a ~sqrt(2)x-understated or ~sqrt(3)x-overstated
+    sigma — far tighter than the order-of-magnitude check it replaces."""
     traj = simulate_trajectory(seed=10, duration=2.0)
     t0, t1 = 0.5, 1.0
     cfg = UGPMConfig(window_duration=0.5, lm_iters=15)
     errs = []
     covs = []
+    chi2 = []
     dR_ref, dp_ref = _truth_delta(traj, t0, t1)
     for trial in range(8):
         imu = sample_imu(traj, gyr_rate=150.0, vel_rate=25.0, gyr_std=0.02, vel_std=0.05, seed=100 + trial)
@@ -89,16 +93,19 @@ def test_ugpm_covariance_calibration():
             lie.so3_log(jnp.asarray(dR_ref).T @ meas.delta_R[0])
         )
         p_err = np.asarray(meas.delta_p[0]) - dp_ref
-        errs.append(np.concatenate([r_err, p_err]))
-        covs.append(np.asarray(meas.cov[0]))
+        e = np.concatenate([r_err, p_err])
+        S = np.asarray(meas.cov[0])
+        chi2.append(float(e @ np.linalg.solve(S, e)))
+        errs.append(e)
+        covs.append(S)
+    total = float(np.sum(chi2))
+    assert 20.0 < total < 100.0, (total, chi2)
+    # per-dimension diagnostic band (measured ratios: 0.16..2.3)
     errs = np.stack(errs)
-    cov_mean = np.mean(np.stack(covs), axis=0)
-    emp = np.mean(errs**2, axis=0)
-    rep = np.diag(cov_mean)
-    ratio = emp / np.maximum(rep, 1e-12)
-    # calibrated within an order of magnitude (reference makes no tighter claim)
-    assert np.all(ratio < 30.0), ratio
-    assert np.all(ratio > 1.0 / 30.0), ratio
+    rep = np.diag(np.mean(np.stack(covs), axis=0))
+    ratio = np.mean(errs**2, axis=0) / np.maximum(rep, 1e-12)
+    assert np.all(ratio < 8.0), ratio
+    assert np.all(ratio > 1.0 / 10.0), ratio
 
 
 def test_ugpm_bias_jacobians_vs_fd():
@@ -119,6 +126,11 @@ def test_ugpm_bias_jacobians_vs_fd():
         # d_delta_R_d_bw maps through J_r; compare the right-trivialized FD
         ana = np.asarray(meas.d_delta_R_d_bw[0, :, axis])
         np.testing.assert_allclose(ana, d_r, atol=0.05, rtol=0.25)
+        # gyro offset also moves delta_p (through the rotated velocities):
+        # d_delta_p_d_bw (preint.h:1265 initialiseStateDiff gyro-shift path)
+        d_p_w = (np.asarray(m_w.delta_p[0]) - np.asarray(meas.delta_p[0])) / eps
+        ana_pw = np.asarray(meas.d_delta_p_d_bw[0, :, axis])
+        np.testing.assert_allclose(ana_pw, d_p_w, atol=0.06, rtol=0.2)
         m_v = ugpm_preintegrate(
             gyr_t, gyr, vel_t, vel + jnp.asarray(e), t0, queries, imu.gyr_var, imu.vel_var, cfg
         )
