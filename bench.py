@@ -324,8 +324,10 @@ def secondary(log):
 
     CH = 16
     keys = jax.random.split(jax.random.PRNGKey(7), CH)
+    # adapt=False: the bench times the frozen sampling kernel (64 leapfrog
+    # trajectories), not dual-averaging warmup
     f = jax.jit(jax.vmap(lambda k: run_hmc(k, lp, jnp.zeros(D, dtype), n_samples=64,
-                                           step_size=0.02, n_leapfrog=16)[0]))
+                                           step_size=0.02, n_leapfrog=16, adapt=False)[0]))
     out = f(keys)
     out.block_until_ready()
     t0 = time.perf_counter()

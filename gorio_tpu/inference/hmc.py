@@ -82,29 +82,40 @@ class DualAveragingState(NamedTuple):
     log_step_avg: jax.Array
     h_bar: jax.Array
     t: jax.Array
+    mu: jax.Array  # fixed shrinkage point log(10 * eps0)
 
 
 def dual_averaging_init(step_size: float):
     ls = jnp.log(jnp.asarray(step_size))
     return DualAveragingState(
-        log_step=ls, log_step_avg=ls, h_bar=jnp.asarray(0.0), t=jnp.asarray(0.0)
+        log_step=ls,
+        log_step_avg=ls,
+        h_bar=jnp.asarray(0.0),
+        t=jnp.asarray(0.0),
+        mu=jnp.log(10.0) + ls,
     )
 
 
 def dual_averaging_update(
     da: DualAveragingState, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0.75
 ):
-    """Nesterov dual averaging (Hoffman & Gelman 2014 step-size adaptation)."""
+    """Nesterov dual averaging (Hoffman & Gelman 2014, Sec. 3.2). The
+    shrinkage point `mu` is FIXED at log(10 * eps0) per the paper — a moving
+    mu (a previous revision used 10x the running average) lets the step size
+    drift unboundedly."""
     t = da.t + 1.0
     h_bar = (1.0 - 1.0 / (t + t0)) * da.h_bar + (target - accept_prob) / (t + t0)
-    mu = jnp.log(10.0) + jnp.log(jnp.exp(da.log_step_avg))  # shrink toward 10x init
-    log_step = mu - jnp.sqrt(t) / gamma * h_bar
+    log_step = da.mu - jnp.sqrt(t) / gamma * h_bar
     eta = t ** (-kappa)
     log_step_avg = eta * log_step + (1.0 - eta) * da.log_step_avg
-    return DualAveragingState(log_step=log_step, log_step_avg=log_step_avg, h_bar=h_bar, t=t)
+    return DualAveragingState(
+        log_step=log_step, log_step_avg=log_step_avg, h_bar=h_bar, t=t, mu=da.mu
+    )
 
 
-@partial(jax.jit, static_argnames=("logprob_fn", "n_samples", "n_leapfrog", "adapt"))
+@partial(
+    jax.jit, static_argnames=("logprob_fn", "n_samples", "n_leapfrog", "adapt", "n_warmup")
+)
 def run_hmc(
     key,
     logprob_fn: Callable,
@@ -114,24 +125,50 @@ def run_hmc(
     n_leapfrog: int = 16,
     adapt: bool = True,
     inv_mass=None,
+    n_warmup: int | None = None,
 ):
     """Single chain; `vmap` over (key, position0) for many chains.
+
+    With `adapt=True` runs `n_warmup` (default n_samples//2) dual-averaging
+    warmup iterations first, then FREEZES the step size at exp(log_step_avg)
+    for the `n_samples` returned draws — sampling from a fixed kernel, as the
+    samples of an adapting chain are not draws from its stationary
+    distribution. Warmup draws are discarded.
 
     `inv_mass` (diagonal) preconditions the kinetic energy — pass the inverse
     Hessian diagonal of the GN solution for pose-graph posteriors, whose
     scales span orders of magnitude (anchor prior vs free poses)."""
     state0 = hmc_init(logprob_fn, position0)
-    da0 = dual_averaging_init(step_size)
+    if n_warmup is None:
+        n_warmup = n_samples // 2 if adapt else 0
 
-    def body(carry, k):
-        state, da = carry
-        eps = jnp.exp(da.log_step)
-        new_state, info = hmc_step(k, state, logprob_fn, eps, n_leapfrog, inv_mass)
-        da_new = dual_averaging_update(da, info.accept_prob) if adapt else da
-        return (new_state, da_new), (new_state.position, info.accept_prob)
+    def sample_body(eps):
+        def body(state, k):
+            new_state, info = hmc_step(k, state, logprob_fn, eps, n_leapfrog, inv_mass)
+            return new_state, (new_state.position, info.accept_prob)
 
-    keys = jax.random.split(key, n_samples)
-    (final, _), (samples, accepts) = jax.lax.scan(body, (state0, da0), keys)
+        return body
+
+    key_w, key_s = jax.random.split(key)
+    if adapt and n_warmup > 0:
+        da0 = dual_averaging_init(step_size)
+
+        def warm_body(carry, k):
+            state, da = carry
+            eps = jnp.exp(da.log_step)
+            new_state, info = hmc_step(k, state, logprob_fn, eps, n_leapfrog, inv_mass)
+            return (new_state, dual_averaging_update(da, info.accept_prob)), None
+
+        (state0, da), _ = jax.lax.scan(
+            warm_body, (state0, da0), jax.random.split(key_w, n_warmup)
+        )
+        eps = jnp.exp(da.log_step_avg)
+    else:
+        eps = jnp.asarray(step_size, state0.position.dtype)
+
+    state_final, (samples, accepts) = jax.lax.scan(
+        sample_body(eps), state0, jax.random.split(key_s, n_samples)
+    )
     return samples, accepts
 
 
@@ -149,46 +186,62 @@ def potential_scale_reduction(chains):
 
 
 # ---------------------------------------------------------------------------
-# NUTS (fixed-depth doubling with multinomial sampling — the modern variant)
+# Multinomial HMC over a random-offset trajectory (static-length, XLA-friendly)
 # ---------------------------------------------------------------------------
 
 
 @partial(jax.jit, static_argnames=("logprob_fn", "max_depth"))
-def nuts_step(key, state: HMCState, logprob_fn: Callable, step_size, max_depth: int = 6):
-    """Iterative NUTS with a static trajectory budget of 2^max_depth leapfrog
-    steps, multinomial state selection and a U-turn stop criterion.
+def multinomial_hmc_step(
+    key, state: HMCState, logprob_fn: Callable, step_size, max_depth: int = 6
+):
+    """One multinomial-HMC transition with a static budget of 2^max_depth
+    leapfrog steps and a uniformly random forward/backward split.
 
-    This is the XLA-friendly re-expression: instead of recursive tree
-    doubling, run the 2^D steps as one scan, accumulate per-step weights
-    log w_i = -H_i, and pick a state by online multinomial (Gumbel) sampling
-    among the prefix that passes the U-turn check. Statistically this is the
-    "progressive sampling along the trajectory" scheme of NUTS; the stop
-    criterion uses the same start-to-current U-turn test."""
+    Construction (Betancourt, arXiv:1701.02434, App. A.2 "static multinomial
+    scheme with uniform trajectory placement"): sample momentum p0; sample
+    n_fwd ~ U{0..N}; integrate n_fwd steps forward from (q0, p0) and
+    N - n_fwd steps backward (leapfrog with -eps from the start); select one
+    of the N+1 trajectory states with probability ∝ exp(-H). Placing the
+    start uniformly inside the trajectory makes the map symmetric — every
+    state of the trajectory would generate the same trajectory with the
+    appropriate offset — so the multinomial selection leaves the canonical
+    distribution invariant exactly (no accept/reject needed). Unlike the
+    recursive NUTS tree this has no data-dependent trajectory length, which
+    is the XLA-friendly trade: one fixed-shape scan, no while_loop.
+
+    Validated statistically against correlated-Gaussian targets in
+    tests/test_inference.py::test_multinomial_hmc_targets_correlated_gaussian.
+    """
     n = state.position.shape[0]
     dtype = state.position.dtype
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     p0 = jax.random.normal(k1, (n,), dtype)
-    direction = jnp.where(jax.random.bernoulli(k2), 1.0, -1.0).astype(dtype)
-    eps = step_size * direction
     h0 = -state.log_prob + 0.5 * jnp.sum(p0 * p0)
 
     n_steps = 2**max_depth
-    gumbels = -jnp.log(-jnp.log(jax.random.uniform(k3, (n_steps,), dtype) + 1e-30) + 1e-30)
+    n_fwd = jax.random.randint(k2, (), 0, n_steps + 1)
+    gumbels = -jnp.log(
+        -jnp.log(jax.random.uniform(k3, (n_steps,), dtype) + 1e-30) + 1e-30
+    )
+    g0 = -jnp.log(-jnp.log(jax.random.uniform(k4, (), dtype) + 1e-30) + 1e-30)
 
-    def body(carry, g):
-        q, p, grad, best_q, best_lp, best_grad, best_score, stopped, q_minus = carry
+    def body(carry, inp):
+        i, g = inp
+        q, p, grad, best_q, best_lp, best_grad, best_score = carry
+        # at step n_fwd the integration restarts from (q0, p0) going backward
+        restart = i == n_fwd
+        q = jnp.where(restart, state.position, q)
+        p = jnp.where(restart, p0, p)
+        grad = jnp.where(restart, state.grad, grad)
+        eps = jnp.where(i < n_fwd, step_size, -step_size).astype(dtype)
         p_half = p + 0.5 * eps * grad
         q_new = q + eps * p_half
         lp, grad_new = jax.value_and_grad(logprob_fn)(q_new)
         p_new = p_half + 0.5 * eps * grad_new
         h = -lp + 0.5 * jnp.sum(p_new * p_new)
-        # U-turn: momentum pointing back toward the start
-        dq = q_new - q_minus
-        uturn = (jnp.dot(dq, p_new) < 0) | (h - h0 > 1000.0)
-        stopped_new = stopped | uturn
-        # multinomial selection weight: log w = h0 - h (+ gumbel)
+        # Gumbel-max online multinomial: log w = h0 - h
         score = h0 - h + g
-        take = (~stopped_new) & (score > best_score)
+        take = score > best_score
         return (
             q_new,
             p_new,
@@ -197,10 +250,9 @@ def nuts_step(key, state: HMCState, logprob_fn: Callable, step_size, max_depth: 
             jnp.where(take, lp, best_lp),
             jnp.where(take, grad_new, best_grad),
             jnp.where(take, score, best_score),
-            stopped_new,
-            q_minus,
         ), None
 
+    # the start state competes with weight exp(0) = 1 (h0 - h0)
     init = (
         state.position,
         p0,
@@ -208,15 +260,10 @@ def nuts_step(key, state: HMCState, logprob_fn: Callable, step_size, max_depth: 
         state.position,
         state.log_prob,
         state.grad,
-        jnp.asarray(-jnp.inf, dtype),
-        jnp.asarray(False),
-        state.position,
+        g0,
     )
-    carry, _ = jax.lax.scan(body, init, gumbels)
-    _, _, _, best_q, best_lp, best_grad, best_score, _, _ = carry
-    moved = jnp.isfinite(best_score)
-    return HMCState(
-        position=jnp.where(moved, best_q, state.position),
-        log_prob=jnp.where(moved, best_lp, state.log_prob),
-        grad=jnp.where(moved, best_grad, state.grad),
+    carry, _ = jax.lax.scan(
+        body, init, (jnp.arange(n_steps), gumbels)
     )
+    _, _, _, best_q, best_lp, best_grad, _ = carry
+    return HMCState(position=best_q, log_prob=best_lp, grad=best_grad)
