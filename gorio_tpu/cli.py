@@ -6,7 +6,13 @@ Counterparts of the reference's CLI layer (SURVEY.md §2 Utility/CLI):
   simulate    — generate a synthetic sequence to .grf files
   evaluate    — ATE/RTE of a TUM trajectory vs ground truth
   align-traj  — estimate the rigid transform between two trajectories by
-                timestamp association (parity: `src/gps_traj_align.cpp`)
+                timestamp association (Umeyama closed form)
+  gt-adjust   — graph-based ground-truth trajectory adjustment: chain of
+                Huber-robust between edges + user-specified loop-identity
+                edges, LM solve (parity: `src/gt_adjust.cpp`)
+  utm-align   — estimate the UTM->world transform as a single-SE3-vertex
+                graph solve over timestamp-associated (trajectory, GPS)
+                pairs with per-fix covariance (parity: `src/gps_traj_align.cpp`)
   convert     — raw CSV/NPZ logs -> .grf sequence (parity: `src/ford2bag.py`)
   dump-config — write the default typed config tree
   bench       — run the benchmark
@@ -258,6 +264,123 @@ def cmd_align_traj(args):
         save_tum(args.output, es, out)
 
 
+def cmd_gt_adjust(args):
+    """Graph-based GT trajectory adjustment (parity: `src/gt_adjust.cpp`):
+    consecutive between edges (info I/odom_stddev, Huber) + identity loop
+    edges at the user-given index pairs (translation info 1/loop_trans_var,
+    rotation 1/loop_rot_var, matching `gt_adjust.cpp:74-78`), LM solve,
+    adjusted TUM out."""
+    from .graph.graph import PoseGraph
+    from .graph.solver import SolveConfig, optimize_graph
+    from .io.tum import load_tum, save_tum
+
+    stamps, poses = load_tum(args.input)
+    n = len(stamps)
+    g = PoseGraph()
+    for T in poses:
+        g.add_pose(T)
+    info_odom = np.eye(6) / args.odom_stddev
+    for i in range(1, n):
+        rel = np.linalg.inv(poses[i - 1]) @ poses[i]
+        g.add_between(i - 1, i, rel, info=info_odom, robust_delta=args.huber)
+    # loop edges: identity relative pose between matched indices
+    info_loop = np.eye(6)
+    info_loop[:3, :3] /= args.loop_rot_var  # [rot, trans] state convention
+    info_loop[3:, 3:] /= args.loop_trans_var
+    n_loops = 0
+    for pair in args.loop or []:
+        i, j = (int(x) for x in pair.split(":"))
+        if not (0 <= i < n and 0 <= j < n):
+            sys.exit(f"loop index pair {pair} out of range (n={n})")
+        g.add_between(i, j, np.eye(4), info=info_loop)
+        n_loops += 1
+    poses0, graph = g.freeze()
+    res = optimize_graph(poses0, graph, SolveConfig(max_iterations=args.iters))
+    out = np.asarray(res.poses)
+    save_tum(args.output, stamps, out)
+    print(
+        json.dumps(
+            {
+                "n_poses": n,
+                "n_loops": n_loops,
+                "chi2": float(res.chi2),
+                "iterations": int(res.iterations),
+                "output": args.output,
+            }
+        )
+    )
+
+
+def cmd_utm_align(args):
+    """UTM->world transform via a single-SE3-vertex graph solve (parity:
+    `src/gps_traj_align.cpp:225-247`): associate trajectory and GPS fixes by
+    timestamp (max-difference gate), add one EdgeSE3GtUTM-style factor per
+    pair with information diag(1/var), LM-solve the one vertex.
+
+    GPS file: whitespace/comma-separated `stamp east north alt [var_x var_y
+    var_z]` rows (# comments skipped)."""
+    from .graph.graph import PoseGraph
+    from .graph.solver import SolveConfig, optimize_graph_with_planes
+    from .io.tum import load_tum
+
+    stamps, poses = load_tum(args.trajectory)
+    rows = []
+    with open(args.gps) as f:
+        for line in f:
+            line = line.strip().replace(",", " ")
+            if not line or line.startswith("#"):
+                continue
+            v = [float(x) for x in line.split()]
+            rows.append(v + [args.default_var] * (7 - len(v)))
+    if not rows:
+        sys.exit("no GPS fixes parsed")
+    gps = np.asarray(rows)
+    # covariance gate (gps_traj_align.cpp:157-158: skip var_x>3 or var_z>8)
+    keep = (gps[:, 4] <= args.max_var_xy) & (gps[:, 6] <= args.max_var_z)
+    gps = gps[keep]
+    # timestamp association (associate(), max_difference gate)
+    idx = np.clip(np.searchsorted(stamps, gps[:, 0]), 0, len(stamps) - 1)
+    idx_lo = np.clip(idx - 1, 0, len(stamps) - 1)
+    d_hi = np.abs(stamps[idx] - gps[:, 0])
+    d_lo = np.abs(stamps[idx_lo] - gps[:, 0])
+    idx = np.where(d_lo < d_hi, idx_lo, idx)
+    ok = np.abs(stamps[idx] - gps[:, 0]) < args.max_dt
+    gps, idx = gps[ok], idx[ok]
+    if len(gps) < 3:
+        sys.exit(f"only {len(gps)} associated pairs (need >= 3)")
+    # recenter the UTM fixes: raw easting/northing are ~1e6 m, which both
+    # stiffens the rotation linearization (1e6 m lever arms) and loses
+    # centimeters to f32; solve for T mapping (utm - centroid) -> world
+    centroid = gps[:, 1:4].mean(axis=0)
+    p_utm_c = gps[:, 1:4] - centroid
+    p_world = poses[idx, :3, 3]
+    # closed-form seed (the initial-guess step gps_traj_align.cpp:200-224
+    # sketches), then the graph refines with per-fix covariance weighting
+    from .io.tum import umeyama_alignment
+
+    _, R0, t0 = umeyama_alignment(p_utm_c, p_world, with_scale=False)
+    T0 = np.eye(4)
+    T0[:3, :3] = R0
+    T0[:3, 3] = t0
+    g = PoseGraph()
+    g.add_pose(T0)
+    for k in range(len(gps)):
+        info = np.diag(1.0 / np.maximum(gps[k, 4:7], 1e-9))
+        # T_world_utm maps the (recentered) UTM fix onto the trajectory point
+        g.add_utm_align(0, p_utm_c[k], p_world[k], info=info)
+    poses0, graph = g.freeze()
+    planes0, pg = g.freeze_planes()
+    res = optimize_graph_with_planes(
+        poses0, planes0, graph, pg, SolveConfig(max_iterations=args.iters, fix_first=False)
+    )
+    T = np.array(res.poses[0], dtype=np.float64)
+    # undo the recentering: T_world_utm = T_c . Translate(-centroid)
+    T[:3, 3] = T[:3, 3] - T[:3, :3] @ centroid
+    print(json.dumps({"n_pairs": int(len(gps)), "chi2": float(res.chi2), "T_world_utm": T.tolist()}))
+    if args.output:
+        np.savetxt(args.output, T)
+
+
 def cmd_convert(args):
     from .io.convert import convert_sequence
 
@@ -461,6 +584,33 @@ def main(argv=None):
     s.add_argument("--repeat", type=int, default=3)
     s.add_argument("--print-transform", action="store_true")
     s.set_defaults(fn=cmd_align)
+
+    s = sub.add_parser("gt-adjust")
+    s.add_argument("input", help="TUM trajectory to adjust")
+    s.add_argument("output", help="adjusted TUM trajectory")
+    s.add_argument(
+        "--loop",
+        action="append",
+        metavar="I:J",
+        help="identity loop edge between pose indices (repeatable), e.g. 0:8240",
+    )
+    s.add_argument("--odom-stddev", type=float, default=0.05)
+    s.add_argument("--loop-trans-var", type=float, default=0.5)
+    s.add_argument("--loop-rot-var", type=float, default=1.0)
+    s.add_argument("--huber", type=float, default=1.0)
+    s.add_argument("--iters", type=int, default=64)
+    s.set_defaults(fn=cmd_gt_adjust)
+
+    s = sub.add_parser("utm-align")
+    s.add_argument("trajectory", help="TUM world-frame trajectory")
+    s.add_argument("gps", help="stamp east north alt [var_x var_y var_z] rows")
+    s.add_argument("--output", default=None, help="write the 4x4 T_world_utm")
+    s.add_argument("--max-dt", type=float, default=0.02)
+    s.add_argument("--max-var-xy", type=float, default=3.0)
+    s.add_argument("--max-var-z", type=float, default=8.0)
+    s.add_argument("--default-var", type=float, default=1.0)
+    s.add_argument("--iters", type=int, default=64)
+    s.set_defaults(fn=cmd_utm_align)
 
     s = sub.add_parser("dump-config")
     s.add_argument("--output", default="gorio_config.json")
