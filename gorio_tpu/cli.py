@@ -137,7 +137,10 @@ def cmd_slam(args):
 
     timer = StageTimer()
     key = jax.random.PRNGKey(0)
-    ds = gn.NativeDataset(frames, capacity=args.capacity)
+    # the ingest runs through the native 2-stage pipeline (decode thread ->
+    # pack thread, native/src/pipeline.cc): frames arrive already zero-padded
+    # to (capacity, 5), overlapping IO+pack with device compute
+    ds = gn.NativePipelineDataset(frames, capacity=args.capacity)
     n = 0
     def accept_floor(n_ground, plane):
         """Confident, roughly-horizontal ground fits only."""
@@ -147,15 +150,11 @@ def cmd_slam(args):
             and abs(plane[2]) > slam.cfg.floor_max_tilt_nz
         )
 
-    for stamp, xyz, inten, dop in ds:
+    for stamp, n_pts, packed in ds:
         floor = None
         if args.fused:
-            # single-dispatch frontend: pack once, one program, one pull
-            packed = np.zeros((args.capacity, 5), np.float32)
-            n_pts = min(len(xyz), args.capacity)
-            packed[:n_pts, :3] = xyz[:n_pts]
-            packed[:n_pts, 3] = inten[:n_pts]
-            packed[:n_pts, 4] = dop[:n_pts]
+            # single-dispatch frontend: the native pack stage already padded
+            # the frame; one program, one pull
             with timer.stage("frontend_fused"):
                 pose, v = odo.step_fused(
                     float(stamp), packed, n_pts, ground=args.floor,
@@ -169,7 +168,9 @@ def cmd_slam(args):
                 floor = odo.last_plane
         else:
             cloud = make_cloud(
-                jnp.asarray(xyz), intensity=jnp.asarray(inten), doppler=jnp.asarray(dop),
+                jnp.asarray(packed[:n_pts, :3]),
+                intensity=jnp.asarray(packed[:n_pts, 3]),
+                doppler=jnp.asarray(packed[:n_pts, 4]),
                 capacity=args.capacity,
             )
             key, sub = jax.random.split(key)

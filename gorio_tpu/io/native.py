@@ -94,6 +94,23 @@ def load(auto_build: bool = True):
         ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.gorio_pipeline_dataset_open.restype = ctypes.c_void_p
+    lib.gorio_pipeline_dataset_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.gorio_pipeline_dataset_next.restype = ctypes.c_int
+    lib.gorio_pipeline_dataset_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.gorio_pipeline_dataset_backlog.restype = ctypes.c_int
+    lib.gorio_pipeline_dataset_backlog.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gorio_pipeline_dataset_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -187,6 +204,56 @@ class NativeDataset:
     def close(self):
         if getattr(self, "_handle", None):
             self._lib.gorio_dataset_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativePipelineDataset:
+    """Two-stage native pipeline (decode thread -> pack thread) yielding
+    zero-padded (capacity, FIELDS) host buffers ready for device upload.
+
+    This is the L3 runtime counterpart of the reference's 3-nodelet
+    shared-manager dataflow (SURVEY.md §1 L3): each stage is its own native
+    thread connected by bounded queues (native/src/pipeline.h), and the pack
+    stage does the padding the fused frontend previously paid per frame in
+    Python. Iteration yields (stamp, n_valid, padded) where `padded` is a
+    reused (capacity, FIELDS) float32 array — copy it if you keep it."""
+
+    def __init__(self, paths, capacity: int = 4096, queue_depth: int = 4):
+        lib = load()
+        self._lib = lib
+        self.capacity = capacity
+        enc = [str(p).encode() for p in paths]
+        arr = (ctypes.c_char_p * len(enc))(*enc)
+        self._handle = lib.gorio_pipeline_dataset_open(
+            arr, len(enc), queue_depth, capacity, FIELDS
+        )
+        self._buf = np.empty((capacity, FIELDS), np.float32)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        stamp = ctypes.c_double()
+        n = self._lib.gorio_pipeline_dataset_next(
+            self._handle,
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(stamp),
+        )
+        if n == 0:
+            raise StopIteration
+        if n < 0:
+            raise IOError("corrupt frame")
+        return stamp.value, n, self._buf
+
+    def backlog(self, stage: int = 0) -> int:
+        return int(self._lib.gorio_pipeline_dataset_backlog(self._handle, stage))
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.gorio_pipeline_dataset_close(self._handle)
             self._handle = None
 
     def __del__(self):

@@ -186,9 +186,14 @@ def prepare_gicp(source: PointCloud, target: PointCloud, cfg: GICPConfig) -> GIC
     )
 
 
-def _correspondences(prob: GICPProblem, T, cfg: GICPConfig):
+def _correspondences(prob: GICPProblem, T, cfg: GICPConfig, n_total: int | None = None):
     """1-NN + Mahalanobis; parity with `update_correspondences`
-    (`fast_apdgicp_impl.hpp:160-220`)."""
+    (`fast_apdgicp_impl.hpp:160-220`).
+
+    `n_total` overrides the cluster-bonus denominator (the full source
+    capacity) when `prob` holds only a shard of the source points
+    (parallel/sharded.py) — keeps sharded weights identical to
+    single-device."""
     R = T[:3, :3]
     t = T[:3, 3]
     moved = prob.src_xyz @ R.T + t
@@ -213,7 +218,7 @@ def _correspondences(prob: GICPProblem, T, cfg: GICPConfig):
     if cfg.mode == "apdgicp":
         cl_w = jnp.where(
             (prob.tgt_cluster[idx] == prob.src_cluster) & (prob.src_cluster >= 0.0),
-            1.0 / prob.src_xyz.shape[0],
+            1.0 / (n_total if n_total is not None else prob.src_xyz.shape[0]),
             0.0,
         )
         w = 1.0 + prob.src_geo_w + cl_w

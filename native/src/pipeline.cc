@@ -1,102 +1,111 @@
-// Multi-stage threaded pipeline executor.
+// C API over the generic multi-stage pipeline (see pipeline.h) plus the
+// concrete decode->pack dataset pipeline the slam CLI ingests through.
 //
-// Native counterpart of the reference's runtime layer: three nodelets in one
-// shared-memory nodelet manager connected by ROS topics with per-nodelet
-// callback threads and mutex-guarded deques (SURVEY.md §1 L3). Here the same
-// shape is a chain of worker threads connected by bounded queues carrying
-// opaque item pointers; stage bodies are C function pointers (the Python
-// driver registers C-level trampolines or uses the pipeline for pure native
-// stages like IO/decode so the GIL is never held across stages).
+// Reference role: the 3-nodelet shared-manager runtime (SURVEY.md §1 L3) —
+// sensor decode and host packing run in native threads that never hold the
+// GIL, overlapping with the Python driver's device dispatch.
 
-#include <condition_variable>
 #include <cstdint>
-#include <deque>
-#include <mutex>
-#include <thread>
+#include <cstdio>
+#include <cstring>
+#include <string>
 #include <vector>
+
+#include "pipeline.h"
 
 namespace gorio {
 
-using StageFn = void* (*)(void* item, void* user);
+// ---- .grf frame decode (shared with dataset.cc's reader) -------------------
 
-class BoundedQueue {
- public:
-  explicit BoundedQueue(size_t depth) : depth_(depth) {}
-
-  void push(void* v) {
-    std::unique_lock<std::mutex> lk(mu_);
-    cv_space_.wait(lk, [this] { return q_.size() < depth_ || closed_; });
-    if (closed_) return;
-    q_.push_back(v);
-    cv_data_.notify_one();
-  }
-
-  bool pop(void** out) {
-    std::unique_lock<std::mutex> lk(mu_);
-    cv_data_.wait(lk, [this] { return !q_.empty() || closed_; });
-    if (q_.empty()) return false;
-    *out = q_.front();
-    q_.pop_front();
-    cv_space_.notify_one();
-    return true;
-  }
-
-  void close() {
-    std::lock_guard<std::mutex> lk(mu_);
-    closed_ = true;
-    cv_data_.notify_all();
-    cv_space_.notify_all();
-  }
-
-  size_t size() {
-    std::lock_guard<std::mutex> lk(mu_);
-    return q_.size();
-  }
-
- private:
-  size_t depth_;
-  std::deque<void*> q_;
-  std::mutex mu_;
-  std::condition_variable cv_data_, cv_space_;
-  bool closed_ = false;
+struct PFrame {
+  double stamp = 0.0;
+  uint32_t count = 0;
+  uint32_t fields = 0;
+  std::vector<float> data;
+  bool ok = false;
 };
 
-class Pipeline {
- public:
-  Pipeline(const StageFn* fns, void* const* users, int n_stages, int queue_depth) {
-    for (int i = 0; i <= n_stages; ++i)
-      queues_.emplace_back(new BoundedQueue(queue_depth > 0 ? queue_depth : 4));
-    for (int i = 0; i < n_stages; ++i) {
-      StageFn fn = fns[i];
-      void* user = users[i];
-      BoundedQueue* in = queues_[i].get();
-      BoundedQueue* out = queues_[i + 1].get();
-      workers_.emplace_back([fn, user, in, out] {
-        void* item = nullptr;
-        while (in->pop(&item)) {
-          void* res = fn(item, user);
-          if (res) out->push(res);
-        }
-        out->close();
-      });
-    }
+static bool pread_frame(const std::string& path, PFrame* out) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  uint32_t magic = 0;
+  if (std::fread(&magic, 4, 1, f) != 1 || magic != 0x47524601u) {
+    std::fclose(f);
+    return false;
   }
-
-  ~Pipeline() {
-    queues_.front()->close();
-    for (auto& w : workers_)
-      if (w.joinable()) w.join();
+  double stamp;
+  uint32_t count, fields;
+  if (std::fread(&stamp, 8, 1, f) != 1 || std::fread(&count, 4, 1, f) != 1 ||
+      std::fread(&fields, 4, 1, f) != 1) {
+    std::fclose(f);
+    return false;
   }
+  out->stamp = stamp;
+  out->count = count;
+  out->fields = fields;
+  out->data.resize(static_cast<size_t>(count) * fields);
+  size_t got = std::fread(out->data.data(), 4, out->data.size(), f);
+  std::fclose(f);
+  out->ok = got == out->data.size();
+  return out->ok;
+}
 
-  void push(void* item) { queues_.front()->push(item); }
-  void finish() { queues_.front()->close(); }
-  bool pop(void** out) { return queues_.back()->pop(out); }
-  int backlog(int stage) { return static_cast<int>(queues_[stage]->size()); }
+// ---- decode -> pack dataset pipeline ---------------------------------------
 
- private:
-  std::vector<std::unique_ptr<BoundedQueue>> queues_;
-  std::vector<std::thread> workers_;
+struct PackedItem {
+  double stamp = 0.0;
+  int n = 0;  // valid points (<= capacity); -1 marks a decode error
+  std::vector<float> padded;  // (capacity * fields), zero-padded
 };
+
+struct DatasetPipeline {
+  Pipeline* pipe = nullptr;
+  std::thread feeder;
+  std::vector<std::string> paths;
+  int capacity = 0;
+  int fields = 0;
+
+  ~DatasetPipeline() {
+    delete pipe;  // closes queues; worker threads join
+    if (feeder.joinable()) feeder.join();
+  }
+};
+
+// stage 0: path string -> decoded PFrame
+static void* stage_decode(void* item, void*) {
+  std::string* path = static_cast<std::string*>(item);
+  PFrame* fr = new PFrame();
+  bool ok = pread_frame(*path, fr);
+  delete path;
+  if (!ok) fr->ok = false;
+  return fr;
+}
+
+// stage 1: PFrame -> zero-padded (capacity, fields) host buffer ready for
+// device upload (the pack the CLI's fused path previously did in Python)
+static void* stage_pack(void* item, void* user) {
+  DatasetPipeline* dp = static_cast<DatasetPipeline*>(user);
+  PFrame* fr = static_cast<PFrame*>(item);
+  PackedItem* out = new PackedItem();
+  out->stamp = fr->stamp;
+  out->padded.assign(static_cast<size_t>(dp->capacity) * dp->fields, 0.0f);
+  if (!fr->ok) {
+    out->n = -1;
+  } else {
+    int n = static_cast<int>(fr->count);
+    if (n > dp->capacity) n = dp->capacity;
+    int fcopy = static_cast<int>(fr->fields) < dp->fields
+                    ? static_cast<int>(fr->fields)
+                    : dp->fields;
+    for (int i = 0; i < n; ++i)
+      std::memcpy(&out->padded[static_cast<size_t>(i) * dp->fields],
+                  &fr->data[static_cast<size_t>(i) * fr->fields],
+                  sizeof(float) * fcopy);
+    out->n = n;
+  }
+  delete fr;
+  return out;
+}
 
 }  // namespace gorio
 
@@ -118,6 +127,47 @@ int gorio_pipeline_pop(void* p, void** out) {
 }
 int gorio_pipeline_backlog(void* p, int stage) {
   return static_cast<gorio::Pipeline*>(p)->backlog(stage);
+}
+
+// ---- dataset pipeline C API -------------------------------------------------
+
+void* gorio_pipeline_dataset_open(const char* const* paths, int n_paths,
+                                  int queue_depth, int capacity, int fields) {
+  auto* dp = new gorio::DatasetPipeline();
+  dp->capacity = capacity;
+  dp->fields = fields;
+  dp->paths.reserve(n_paths);
+  for (int i = 0; i < n_paths; ++i) dp->paths.emplace_back(paths[i]);
+  gorio::StageFn fns[2] = {gorio::stage_decode, gorio::stage_pack};
+  void* users[2] = {nullptr, dp};
+  dp->pipe = new gorio::Pipeline(fns, users, 2, queue_depth);
+  dp->feeder = std::thread([dp] {
+    for (const auto& p : dp->paths) dp->pipe->push(new std::string(p));
+    dp->pipe->finish();
+  });
+  return dp;
+}
+
+// Pops the next packed frame into `out` (capacity * fields floats).
+// Returns the valid point count, 0 at end of sequence, -1 on a corrupt frame.
+int gorio_pipeline_dataset_next(void* h, float* out, double* stamp) {
+  auto* dp = static_cast<gorio::DatasetPipeline*>(h);
+  void* item = nullptr;
+  if (!dp->pipe->pop(&item)) return 0;
+  auto* pk = static_cast<gorio::PackedItem*>(item);
+  std::memcpy(out, pk->padded.data(), pk->padded.size() * sizeof(float));
+  *stamp = pk->stamp;
+  int n = pk->n;
+  delete pk;
+  return n;
+}
+
+int gorio_pipeline_dataset_backlog(void* h, int stage) {
+  return static_cast<gorio::DatasetPipeline*>(h)->pipe->backlog(stage);
+}
+
+void gorio_pipeline_dataset_close(void* h) {
+  delete static_cast<gorio::DatasetPipeline*>(h);
 }
 
 }  // extern "C"

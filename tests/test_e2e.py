@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end tier: `pytest -m slow`
+
 from gorio_tpu.estimators.egovel import EgoVelConfig, estimate_ego_velocity
 from gorio_tpu.io.synthetic import (
     make_world,

@@ -59,6 +59,7 @@ def test_hmc_chains_vmap_rhat():
     assert np.all(np.asarray(rhat) < 1.2), rhat
 
 
+@pytest.mark.slow
 def test_multinomial_hmc_targets_correlated_gaussian():
     """Statistical validation of the multinomial-HMC kernel against a known
     correlated-Gaussian posterior: sample mean, marginal variances AND the
@@ -101,6 +102,7 @@ def test_multinomial_hmc_targets_correlated_gaussian():
     assert abs(corr - 0.8) < 0.08, corr
 
 
+@pytest.mark.slow
 def test_graph_posterior_hmc_matches_laplace():
     """HMC on a small pose-graph posterior should match the Laplace marginal
     scale (BASELINE.json config 3)."""
@@ -161,6 +163,7 @@ def test_systematic_resample_unbiased():
     np.testing.assert_allclose(freq, [0.7, 0.1, 0.1, 0.1], atol=0.02)
 
 
+@pytest.mark.slow
 def test_sharded_smc_matches_semantics():
     """Sharded SMC over the 8-device CPU mesh: global resampling keeps the
     posterior estimate consistent with the single-device path."""

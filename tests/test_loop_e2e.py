@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end tier: `pytest -m slow`
 from scipy.spatial.transform import Rotation
 
 from gorio_tpu.io.synthetic import make_world, render_radar_scan

@@ -8,6 +8,7 @@ differences — the validation the reference never automated.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gorio_tpu.core import lie
 from gorio_tpu.io.synthetic import sample_imu, simulate_trajectory
@@ -103,6 +104,7 @@ def _preint_fn(imu, start_t, queries, bw=None, bv=None, tau=0.0, grid_n=512):
     )
 
 
+@pytest.mark.slow
 def test_lpm_bias_jacobians_vs_fd():
     _, imu = _setup(seed=5)
     start_t, queries = 0.2, np.array([0.9, 1.6])
@@ -137,6 +139,7 @@ def test_lpm_bias_jacobians_vs_fd():
         )
 
 
+@pytest.mark.slow
 def test_lpm_time_jacobian_vs_fd():
     _, imu = _setup(seed=6)
     start_t, queries = 0.2, np.array([1.0])

@@ -63,6 +63,51 @@ def test_dataset_capacity_clips(tmp_path):
     assert out_xyz.shape == (32, 3)
 
 
+def test_pipeline_dataset_matches_plain_reader(tmp_path):
+    """The 2-stage (decode -> pack) native pipeline must yield the same
+    frames as NativeDataset, already zero-padded to (capacity, FIELDS) —
+    this is the runtime path `cli.py slam` ingests through."""
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(8):
+        n = 64 + 16 * i
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        inten = rng.random(n).astype(np.float32)
+        dop = rng.normal(size=n).astype(np.float32)
+        p = tmp_path / f"{i:04d}.grf"
+        gn.write_frame(p, 5.0 + 0.1 * i, xyz, inten, dop)
+        paths.append(p)
+    cap = 256
+    plain = list(gn.NativeDataset(paths, capacity=cap))
+    pipe = gn.NativePipelineDataset(paths, capacity=cap, queue_depth=3)
+    got = [(stamp, n, padded.copy()) for stamp, n, padded in pipe]
+    assert len(got) == len(plain) == 8
+    for (ps, px, pi, pd), (stamp, n, padded) in zip(plain, got):
+        assert stamp == ps and n == len(px)
+        np.testing.assert_allclose(padded[:n, :3], px)
+        np.testing.assert_allclose(padded[:n, 3], pi)
+        np.testing.assert_allclose(padded[:n, 4], pd)
+        # pack stage zero-pads the tail
+        assert np.all(padded[n:] == 0.0)
+
+
+def test_pipeline_dataset_clips_and_prefetches(tmp_path):
+    xyz = np.ones((50, 3), np.float32)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"{i}.grf"
+        gn.write_frame(p, float(i), xyz)
+        paths.append(p)
+    ds = gn.NativePipelineDataset(paths, capacity=32, queue_depth=4)
+    import time
+
+    time.sleep(0.2)  # the decode/pack threads run ahead of the consumer
+    assert ds.backlog(2) > 0  # packed frames waiting in the output queue
+    stamp, n, padded = next(iter(ds))
+    assert n == 32 and padded.shape == (32, 5)
+    ds.close()
+
+
 def test_pcd_roundtrip(tmp_path):
     from gorio_tpu.io.pcd import read_pcd, write_pcd
 

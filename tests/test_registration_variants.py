@@ -66,6 +66,7 @@ def test_factory_methods(scan_pair, method):
     assert re_ < np.deg2rad(2.0), (method, re_)
 
 
+@pytest.mark.slow
 def test_chunked_preintegration_matches_single():
     traj = simulate_trajectory(seed=12, duration=4.0)
     imu = sample_imu(traj, gyr_rate=200.0, vel_rate=20.0, gyr_std=0.0, vel_std=0.0, seed=13)
@@ -85,6 +86,7 @@ def test_chunked_preintegration_matches_single():
     np.testing.assert_allclose(np.asarray(chunked.dt), np.asarray(single.dt), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_submap_odometry_runs():
     from gorio_tpu.pipeline.odometry import OdometryConfig, ScanMatchingOdometry
 

@@ -51,6 +51,7 @@ def test_ugpm_moments_vs_truth():
         np.testing.assert_allclose(np.asarray(meas.delta_p[i]), dp_ref, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_ugpm_close_to_lpm():
     """UGPM and LPM must agree within noise scale (the reference validates
     UGPM against LPM the same way)."""
@@ -69,6 +70,7 @@ def test_ugpm_close_to_lpm():
         )
 
 
+@pytest.mark.slow
 def test_ugpm_covariance_calibration():
     """Monte-Carlo chi-square calibration: whiten each trial's 6-dof error by
     its own reported covariance; the summed squared Mahalanobis norm over 8
@@ -108,6 +110,7 @@ def test_ugpm_covariance_calibration():
     assert np.all(ratio > 1.0 / 10.0), ratio
 
 
+@pytest.mark.slow
 def test_ugpm_bias_jacobians_vs_fd():
     _, imu = _setup(seed=5)
     t0, t1 = 1.0, 1.4
@@ -139,6 +142,7 @@ def test_ugpm_bias_jacobians_vs_fd():
         np.testing.assert_allclose(ana_p, d_p, atol=0.05, rtol=0.25)
 
 
+@pytest.mark.slow
 def test_ugpm_vmap_over_windows():
     """The design goal: many windows preintegrated as one batch."""
     _, imu = _setup(seed=7)
