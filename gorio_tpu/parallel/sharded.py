@@ -165,7 +165,7 @@ def sharded_gicp_align(mesh: Mesh, cfg: GICPConfig, axis: str = "mp"):
             in_specs=(prob_specs, repl),
             out_specs=out_specs,
             check_vma=False,
-        )(prob, T0=init_T)
+        )(prob, init_T)
 
     def call(source: PointCloud, target: PointCloud, init_T=None):
         if source.xyz.shape[0] % n_axis:

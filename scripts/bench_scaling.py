@@ -113,6 +113,65 @@ def main():
             }
         )
 
+        # --- workload 3: mp-sharded APDGICP align, 1024 points/device ------
+        # (the REAL alignment: psum'd normal equations inside the LM loop)
+        from gorio_tpu.core.pointcloud import make_cloud
+        from gorio_tpu.parallel.sharded import sharded_gicp_align, sharded_optimize_graph
+        from gorio_tpu.registration.gicp import GICPConfig
+
+        mesh_mp = Mesh(np.asarray(devs[:n]), ("mp",))
+        NPTS = 1024 * n
+        tgt_np = rng.normal(scale=3.0, size=(NPTS, 3)).astype(np.float32)
+        src_np = tgt_np + np.array([0.1, -0.05, 0.02], np.float32)
+        src = make_cloud(jnp.asarray(src_np), capacity=NPTS)
+        tgt = make_cloud(jnp.asarray(tgt_np), capacity=NPTS)
+        gcfg = GICPConfig(
+            mode="apdgicp", lm=GICPConfig().lm._replace(max_iterations=8)
+        )
+        align = sharded_gicp_align(mesh_mp, gcfg, "mp")
+        dt = bench(lambda: align(src, tgt).T, reps=5)
+        results.append(
+            {
+                "workload": "apdgicp_align",
+                "n_devices": n,
+                "points": NPTS,
+                "points_per_s": round(NPTS / dt, 0),
+            }
+        )
+
+        # --- workload 4: dp-sharded pose-graph LM, 128 factors/device ------
+        from gorio_tpu.graph.graph import PoseGraph
+        from gorio_tpu.graph.solver import SolveConfig
+
+        mesh_dp = Mesh(np.asarray(devs[:n]), ("dp",))
+        K = 48
+        F = 128 * n
+        g = PoseGraph(dtype=np.float32)
+        Ts = [np.eye(4)]
+        for _ in range(K - 1):
+            d = np.eye(4)
+            d[:3, 3] = [1.0, 0.0, 0.0]
+            Ts.append(Ts[-1] @ d)
+        for T in Ts:
+            g.add_pose(T)
+        g.add_prior(0, Ts[0], info=np.eye(6) * 1e4)
+        idx = rng.integers(0, K - 1, size=(F, 2))
+        for a, b in idx:
+            i, j = (int(a), int(b)) if a != b else (int(a), (int(a) + 1) % K)
+            rel = np.linalg.inv(Ts[i]) @ Ts[j]
+            g.add_between(i, j, rel, info=np.eye(6) * 25.0)
+        poses0, graph = g.freeze()
+        solve = sharded_optimize_graph(mesh_dp, SolveConfig(max_iterations=8), "dp")
+        dt = bench(lambda: solve(poses0, graph).poses, reps=5)
+        results.append(
+            {
+                "workload": "graph_solve",
+                "n_devices": n,
+                "factors": F,
+                "factors_per_s": round(F / dt, 0),
+            }
+        )
+
     cores = os.cpu_count() or 1
     print(
         f"# note: fake devices share {cores} host core(s); ideal weak-scaling "
@@ -125,7 +184,10 @@ def main():
     for r in results:
         k = r["workload"]
         per_dev = (
-            r.get("particle_steps_per_s") or r.get("windows_per_s")
+            r.get("particle_steps_per_s")
+            or r.get("windows_per_s")
+            or r.get("points_per_s")
+            or r.get("factors_per_s")
         ) / r["n_devices"]
         if r["n_devices"] == 1:
             base[k] = per_dev
