@@ -226,7 +226,11 @@ def secondary(log):
         r = gicp_align(src, tgt, cfg=cfg)
         r.T.block_until_ready()
         ts.append((time.perf_counter() - t0) * 1000)
-    lines.append(f"apdgicp 4096-pt align (sync): {np.median(ts):.3f} ms")
+    apd_iters = r.iterations  # device array; fetched only in the deferred line
+    lines.append(
+        lambda: f"apdgicp 4096-pt align (sync): {np.median(ts):.3f} ms "
+        f"({int(apd_iters)} LM iterations)"
+    )
 
     # ego-velocity throughput (batched scans)
     B = 64

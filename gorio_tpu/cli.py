@@ -37,16 +37,25 @@ def cmd_simulate(args):
     from .io.synthetic import make_world, render_radar_scan, sample_imu, simulate_trajectory
     from .io.tum import save_tum
 
+    from .io.synthetic import make_dynamic_objects, sample_gps
+
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
-    traj = simulate_trajectory(seed=args.seed, duration=args.duration, circuit=args.circuit)
+    traj = simulate_trajectory(
+        seed=args.seed, duration=args.duration, circuit=args.circuit, stops=args.stops
+    )
     imu = sample_imu(traj, seed=args.seed + 1)
     world = make_world(seed=args.seed + 2, n_landmarks=args.landmarks)
+    dyn = make_dynamic_objects(seed=args.seed + 3, n_objects=args.dynamic) if args.dynamic else None
     stamps = np.arange(0.2, args.duration - 0.2, 1.0 / args.rate)
     for i, t in enumerate(stamps):
         R, p = traj.interp_pose(np.array([t]))
         v = np.stack([np.interp(t, traj.t, traj.v_body[:, k]) for k in range(3)])
-        cloud = render_radar_scan(world, R[0], p[0], v, capacity=args.capacity, seed=1000 + i)
+        dpts, dvel = dyn.points_at(float(t)) if dyn is not None else (None, None)
+        cloud = render_radar_scan(
+            world, R[0], p[0], v, capacity=args.capacity, seed=1000 + i,
+            dynamic_points=dpts, dynamic_vel=dvel,
+        )
         m = np.asarray(cloud.mask)
         gn.write_frame(
             out / f"{i:06d}.grf",
@@ -59,6 +68,11 @@ def cmd_simulate(args):
         out / "imu.npz", gyr_t=imu.gyr_t, gyr=imu.gyr, vel_t=imu.vel_t, vel=imu.vel,
         gyr_var=imu.gyr_var, vel_var=imu.vel_var,
     )
+    if args.gps:
+        g_t, g_xyz, g_cov = sample_gps(
+            traj, rate=args.gps_rate, noise_xy=args.gps_noise_xy, seed=args.seed + 4
+        )
+        np.savez(out / "gps.npz", t=g_t, xyz=g_xyz, cov=g_cov)
     gt = np.zeros((traj.t.shape[0], 4, 4))
     gt[:, :3, :3] = traj.R
     gt[:, :3, 3] = traj.p
@@ -118,6 +132,14 @@ def cmd_slam(args):
     online_twists = imu["vel_t"].size == 0
     for t, v in zip(imu["vel_t"], imu["vel"]):
         slam.push_twist(t, v)
+    # GPS fixes (parity: navsat ingestion + the flush_gps_queue gate chain);
+    # the per-fix covariance feeds the covariance gates and edge information
+    gps_path = src / "gps.npz"
+    if gps_path.exists() and not args.no_gps:
+        gps_npz = np.load(gps_path)
+        for t, xyz, cov in zip(gps_npz["t"], gps_npz["xyz"], gps_npz["cov"]):
+            slam.push_gps(float(t), xyz, cov=cov)
+        print(f"pushed {len(gps_npz['t'])} GPS fixes")
 
     odo = ScanMatchingOdometry(odo_cfg)
     if args.preprocess:
@@ -150,7 +172,15 @@ def cmd_slam(args):
             and abs(plane[2]) > slam.cfg.floor_max_tilt_nz
         )
 
+    # `/command "point_distribution"` parity (`preprocessing_nodelet_ntu.cpp:
+    # 775-787`): per-frame histogram of point counts in 1 m range bins,
+    # averaged over frames; lands in --timing-out
+    point_dist = np.zeros(100, np.int64)
     for stamp, n_pts, packed in ds:
+        r = np.linalg.norm(packed[:n_pts, :3], axis=1)
+        point_dist += np.bincount(
+            np.clip(r.astype(np.int64), 0, 99), minlength=100
+        )
         floor = None
         if args.fused:
             # single-dispatch frontend: the native pack stage already padded
@@ -202,6 +232,22 @@ def cmd_slam(args):
     print(f"processed {n} frames -> {len(slam.keyframes)} keyframes, "
           f"{len(slam.loops)} loops; trajectory: {args.output}")
     print(timer.report())
+    if args.timing_out:
+        import statistics as _st
+
+        with open(args.timing_out, "w") as fh:
+            json.dump(
+                {
+                    "stage_median_ms": {
+                        k: 1000 * _st.median(v) for k, v in timer.samples.items()
+                    },
+                    "n_frames": n,
+                    "n_keyframes": len(slam.keyframes),
+                    "n_loops": len(slam.loops),
+                    "point_distribution": (point_dist / max(n, 1)).round(2).tolist(),
+                },
+                fh,
+            )
     if args.status_out:
         # ScanMatchingStatus parity (`ScanMatchingStatus.msg` published per
         # frame by the odometry nodelet): convergence, matching error,
@@ -525,6 +571,14 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--landmarks", type=int, default=9000)
     s.add_argument("--capacity", type=int, default=2048)
+    s.add_argument("--stops", type=int, default=0,
+                   help="number of zero-velocity dwell intervals")
+    s.add_argument("--dynamic", type=int, default=0,
+                   help="number of moving objects (Doppler-inconsistent clutter)")
+    s.add_argument("--gps", action="store_true",
+                   help="write gps.npz (noisy fixes with dropout windows + outliers)")
+    s.add_argument("--gps-rate", type=float, default=2.0)
+    s.add_argument("--gps-noise-xy", type=float, default=0.5)
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("slam")
@@ -549,6 +603,10 @@ def main(argv=None):
     s.add_argument("--capacity", type=int, default=2048)
     s.add_argument("--optimize-every", type=int, default=0)
     s.add_argument("--no-loops", action="store_true")
+    s.add_argument("--no-gps", action="store_true",
+                   help="ignore the dataset's gps.npz fixes")
+    s.add_argument("--timing-out", default=None,
+                   help="write per-stage median timings + counts as JSON")
     s.add_argument("--dump", default=None)
     s.add_argument("--map", default=None)
     s.add_argument("--map-resolution", type=float, default=0.2)

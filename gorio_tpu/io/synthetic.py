@@ -58,12 +58,17 @@ def simulate_trajectory(
     vel_amp: float = 1.0,
     forward_speed: float = 2.0,
     circuit: bool = False,
+    stops: int = 0,
+    stop_duration: float = 1.5,
 ) -> Trajectory:
     """Smooth random trajectory: integrate body rates/velocities at `rate` Hz.
 
     `circuit=True` makes a closed loop (constant yaw rate 2*pi/duration plus
     small perturbations) returning near the start — the NTU `loop2/loop3`-style
-    revisit scenario for exercising loop closure."""
+    revisit scenario for exercising loop closure. `stops > 0` inserts that
+    many zero-velocity dwells of `stop_duration` seconds (smoothly gated to
+    zero) — the stationary intervals the reference's zero-velocity detection
+    handles (`radar_ego_velocity_estimator.cpp:102-118`)."""
     rng = np.random.default_rng(seed)
     t = np.arange(0.0, duration + 0.5 / rate, 1.0 / rate)
     omega = _smooth_signal(rng, t, 3, omega_amp)
@@ -74,6 +79,17 @@ def simulate_trajectory(
         v_body *= 0.3
     v_body[:, 0] += forward_speed
     v_body[:, 2] *= 0.2  # mostly planar, like a ground robot
+    if stops > 0:
+        gate = np.ones_like(t)
+        centers = np.linspace(duration * 0.25, duration * 0.75, stops)
+        for c in centers:
+            # smooth ramp to exactly zero inside the dwell
+            d = np.abs(t - c)
+            half = stop_duration / 2.0
+            ramp = np.clip((d - half) / 0.5, 0.0, 1.0)
+            gate = np.minimum(gate, 0.5 - 0.5 * np.cos(np.pi * ramp))
+        v_body = v_body * gate[:, None]
+        omega = omega * gate[:, None]
 
     from scipy.spatial.transform import Rotation
 
@@ -141,6 +157,70 @@ def make_world(seed: int = 2, n_landmarks: int = 4000, extent: float = 60.0) -> 
     return np.concatenate([ground, rest], axis=0)
 
 
+@dataclass
+class DynamicObjects:
+    """Moving scatterer clusters (cars/pedestrians): rendered points carry
+    Doppler inconsistent with the ego motion — the outliers the reference's
+    RANSAC ego-velocity + dynamic-object removal must reject
+    (`preprocessing_nodelet_ntu.cpp:464-478`)."""
+
+    centers0: np.ndarray  # (M, 3) world position at t=0
+    vel: np.ndarray  # (M, 3) world velocity
+    local: np.ndarray  # (M, P, 3) per-object scatter
+
+    def points_at(self, t: float):
+        """((M*P, 3) world points, (M*P, 3) world velocities) at time t."""
+        c = self.centers0 + self.vel * t
+        pts = (c[:, None, :] + self.local).reshape(-1, 3)
+        vel = np.repeat(self.vel, self.local.shape[1], axis=0)
+        return pts, vel
+
+
+def make_dynamic_objects(
+    seed: int = 5,
+    n_objects: int = 4,
+    points_per_object: int = 40,
+    extent: float = 40.0,
+    speed: float = 3.0,
+) -> DynamicObjects:
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, size=(n_objects, 3))
+    centers[:, 2] = 0.2 + 0.3 * rng.uniform(size=n_objects)
+    vel = rng.normal(size=(n_objects, 3)) * speed
+    vel[:, 2] = 0.0
+    local = rng.normal(size=(n_objects, points_per_object, 3)) * np.array([1.5, 0.7, 0.5])
+    return DynamicObjects(centers0=centers, vel=vel, local=local)
+
+
+def sample_gps(
+    traj: Trajectory,
+    rate: float = 2.0,
+    noise_xy: float = 0.5,
+    noise_z: float = 1.0,
+    dropout_windows=((0.35, 0.55),),
+    outlier_prob: float = 0.02,
+    outlier_scale: float = 15.0,
+    seed: int = 9,
+):
+    """GPS fixes from the trajectory with noise, dropout windows (fractions
+    of the duration) and occasional large outliers with honest covariance
+    inflation absent (the gate chain must catch them). Returns
+    (stamps (F,), xyz (F, 3), cov (F, 3))."""
+    rng = np.random.default_rng(seed)
+    dur = traj.t[-1] - traj.t[0]
+    stamps = np.arange(traj.t[0] + 0.3, traj.t[-1] - 0.3, 1.0 / rate)
+    keep = np.ones(len(stamps), bool)
+    for lo, hi in dropout_windows:
+        keep &= ~((stamps > traj.t[0] + lo * dur) & (stamps < traj.t[0] + hi * dur))
+    stamps = stamps[keep]
+    _, p = traj.interp_pose(stamps)
+    noise = rng.normal(size=p.shape) * np.array([noise_xy, noise_xy, noise_z])
+    out = rng.uniform(size=len(stamps)) < outlier_prob
+    noise[out] += rng.normal(size=(out.sum(), 3)) * outlier_scale
+    cov = np.tile(np.array([noise_xy**2, noise_xy**2, noise_z**2]), (len(stamps), 1))
+    return stamps, p + noise, cov
+
+
 def render_radar_scan(
     world: np.ndarray,
     R_wb: np.ndarray,
@@ -153,23 +233,37 @@ def render_radar_scan(
     capacity: int = 2048,
     seed: int = 3,
     dtype=np.float64,
+    dynamic_points: np.ndarray | None = None,
+    dynamic_vel: np.ndarray | None = None,
 ):
     """Render one radar scan in the sensor(body) frame with per-point Doppler.
 
     Doppler convention: y_i = r_hat_i . v_body (positive when the sensor moves
     toward a static target), matching what the reference feeds `solve3DFull`
-    as radar_data column 3 after its sign corrections."""
+    as radar_data column 3 after its sign corrections. `dynamic_points`/
+    `dynamic_vel` (world frame) add moving scatterers whose Doppler is
+    y_i = r_hat_i . (v_body - R^T u_i)."""
     rng = np.random.default_rng(seed)
+    if dynamic_points is not None and len(dynamic_points):
+        world = np.concatenate([world, dynamic_points], axis=0)
+        u = np.concatenate(
+            [np.zeros((world.shape[0] - len(dynamic_points), 3)), dynamic_vel], axis=0
+        )
+    else:
+        u = np.zeros_like(world)
     local = (world - p_w) @ R_wb  # world -> body
+    u_body = u @ R_wb  # world target velocity in body axes
     r = np.linalg.norm(local, axis=-1)
     keep = (r > 0.5) & (r < max_range)
     keep &= rng.uniform(size=keep.shape) > dropout
     pts = local[keep]
+    u_body = u_body[keep]
     r = r[keep]
     order = rng.permutation(pts.shape[0])[:capacity]
     pts = pts[order]
+    u_body = u_body[order]
     r = r[order]
-    doppler = (pts / r[:, None]) @ v_body
+    doppler = np.einsum("ni,ni->n", pts / r[:, None], v_body[None, :] - u_body)
     pts = pts + rng.normal(scale=noise_xyz, size=pts.shape)
     doppler = doppler + rng.normal(scale=noise_doppler, size=doppler.shape)
     intensity = 10.0 + 20.0 * rng.uniform(size=pts.shape[0])
