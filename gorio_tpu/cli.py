@@ -55,6 +55,8 @@ def cmd_simulate(args):
         cloud = render_radar_scan(
             world, R[0], p[0], v, capacity=args.capacity, seed=1000 + i,
             dynamic_points=dpts, dynamic_vel=dvel,
+            azimuth_fov_deg=None if args.omni else args.fov_azimuth,
+            elevation_fov_deg=None if args.omni else args.fov_elevation,
         )
         m = np.asarray(cloud.mask)
         gn.write_frame(
@@ -579,6 +581,12 @@ def main(argv=None):
                    help="write gps.npz (noisy fixes with dropout windows + outliers)")
     s.add_argument("--gps-rate", type=float, default=2.0)
     s.add_argument("--gps-noise-xy", type=float, default=0.5)
+    s.add_argument("--fov-azimuth", type=float, default=56.5,
+                   help="radar azimuth half-FOV in degrees (Eagle-style sensor)")
+    s.add_argument("--fov-elevation", type=float, default=22.5,
+                   help="radar elevation half-FOV in degrees")
+    s.add_argument("--omni", action="store_true",
+                   help="legacy omnidirectional render (no FOV restriction)")
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("slam")

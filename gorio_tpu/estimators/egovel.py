@@ -51,16 +51,34 @@ class EgoVelConfig(NamedTuple):
     inlier_thresh: float = 0.5
     # Hypotheses rejecting more than this fraction of points fall back to
     # "all points are inliers" (`radar_ego_velocity_estimator.cpp:216-221`
-    # hard-codes 0.05). Raise it when the scene has many dynamic objects.
+    # hard-codes 0.05). Only used by reinsert_mode="reference".
     outlier_reinsert_ratio: float = 0.05
+    # "consensus" (default): rank hypotheses by genuine consensus size, refit
+    # on the winning inlier set, then `refine_rounds` of trimmed refinement.
+    # "reference" reproduces `radar_ego_velocity_estimator.cpp:216-221`
+    # bit for bit: any hypothesis rejecting > outlier_reinsert_ratio of the
+    # points keeps ALL points as inliers. That heuristic poisons the refit
+    # whenever > 5% of the gated returns are genuinely dynamic (every
+    # hypothesis collapses to the same contaminated all-points fit, and the
+    # weakly-observable v_z blows up) — see tests/test_egovel.py.
+    reinsert_mode: str = "consensus"
+    refine_rounds: int = 2
+    # consensus mode draws at least this many hypotheses: the formula below
+    # assumes outlier_prob=0.05 (-> 3 iterations), far too few when a dynamic
+    # object occupies >5% of the gated FOV. Extra hypotheses are nearly free
+    # here (one vmapped batch + one (iters, N) matmul).
+    min_ransac_iters: int = 16
 
     @property
     def ransac_iter(self) -> int:
         """Parity with `radar_ego_velocity_estimator.h:137-141` (setRansacIter)."""
-        return int(
+        base = int(
             math.log(1.0 - self.success_prob)
             / math.log(1.0 - (1.0 - self.outlier_prob) ** self.n_ransac_points)
         )
+        if self.reinsert_mode == "consensus":
+            return max(base, self.min_ransac_iters)
+        return base
 
 
 class EgoVelResult(NamedTuple):
@@ -153,22 +171,36 @@ def estimate_ego_velocity(
     err = jnp.abs(y[None, :] - v_hyp @ H_all.T)  # (iters, N)
     inl = (err < cfg.inlier_thresh) & valid[None, :]
     n_inl = jnp.sum(inl, axis=1)
-    n_outl = n_valid.astype(jnp.int32) - n_inl
-    # outlier-ratio sanity reinsertion (`radar_ego_velocity_estimator.cpp:216-221`):
-    # a hypothesis rejecting >5% of points keeps all valid points as inliers.
-    ratio = n_outl.astype(dtype) / jnp.maximum(n_valid, 1.0)
-    reinsert = ratio > cfg.outlier_reinsert_ratio
-    inl = jnp.where(reinsert[:, None], valid[None, :], inl)
-    n_inl = jnp.sum(inl, axis=1)
-    # Rank non-reinserted hypotheses above reinserted ones. (The reference's
-    # sequential loop lets a reinserted "all points" set beat every genuine
-    # consensus set; that defeats RANSAC whenever > reinsert_ratio of the scene
-    # is dynamic. We keep the fallback — if every hypothesis reinserts, the
-    # estimate degrades to the all-points fit — but never let it shadow a
-    # clean consensus.)
-    score = n_inl + jnp.where(reinsert, 0, n + 1)
-    best = jnp.argmax(score)
-    inlier_mask = inl[best]
+    if cfg.reinsert_mode == "reference":
+        n_outl = n_valid.astype(jnp.int32) - n_inl
+        # outlier-ratio sanity reinsertion (`radar_ego_velocity_estimator.cpp:
+        # 216-221`): a hypothesis rejecting >5% of points keeps all valid
+        # points as inliers.
+        ratio = n_outl.astype(dtype) / jnp.maximum(n_valid, 1.0)
+        reinsert = ratio > cfg.outlier_reinsert_ratio
+        inl = jnp.where(reinsert[:, None], valid[None, :], inl)
+        n_inl = jnp.sum(inl, axis=1)
+        # Rank non-reinserted hypotheses above reinserted ones. (The
+        # reference's sequential loop lets a reinserted "all points" set beat
+        # every genuine consensus set; that defeats RANSAC whenever
+        # > reinsert_ratio of the scene is dynamic. We keep the fallback — if
+        # every hypothesis reinserts, the estimate degrades to the all-points
+        # fit — but never let it shadow a clean consensus.)
+        score = n_inl + jnp.where(reinsert, 0, n + 1)
+        best = jnp.argmax(score)
+        inlier_mask = inl[best]
+    else:
+        # consensus mode: the largest genuine consensus wins, then fixed-round
+        # trimmed refinement (refit -> reclassify at inlier_thresh -> refit)
+        # converges onto the static set. No blanket reinsertion: with real
+        # dynamics in the FOV the rejected points are signal about the scene,
+        # not noise to be averaged back in.
+        best = jnp.argmax(n_inl)
+        inlier_mask = inl[best]
+        for _ in range(cfg.refine_rounds):
+            v_r, _, _ = _masked_lstsq(H_all, y, inlier_mask.astype(dtype))
+            err_r = jnp.abs(y - H_all @ v_r)
+            inlier_mask = (err_r < cfg.inlier_thresh) & valid
 
     # --- refit on best inliers with sigma estimation ---
     w_in = inlier_mask.astype(dtype)

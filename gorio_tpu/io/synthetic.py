@@ -235,6 +235,8 @@ def render_radar_scan(
     dtype=np.float64,
     dynamic_points: np.ndarray | None = None,
     dynamic_vel: np.ndarray | None = None,
+    azimuth_fov_deg: float | None = None,
+    elevation_fov_deg: float | None = None,
 ):
     """Render one radar scan in the sensor(body) frame with per-point Doppler.
 
@@ -242,7 +244,13 @@ def render_radar_scan(
     toward a static target), matching what the reference feeds `solve3DFull`
     as radar_data column 3 after its sign corrections. `dynamic_points`/
     `dynamic_vel` (world frame) add moving scatterers whose Doppler is
-    y_i = r_hat_i . (v_body - R^T u_i)."""
+    y_i = r_hat_i . (v_body - R^T u_i).
+
+    `azimuth_fov_deg`/`elevation_fov_deg` restrict returns to the radar's
+    actual field of view (the Eagle-style sensor the reference targets:
+    ±56.5° azimuth / ±22.5° elevation — the same limits its ego-velocity
+    gates and Scan Context assume, `radar_ego_velocity_estimator.h:31-60`,
+    `Scancontext.h:108-115`). None keeps the legacy omnidirectional render."""
     rng = np.random.default_rng(seed)
     if dynamic_points is not None and len(dynamic_points):
         world = np.concatenate([world, dynamic_points], axis=0)
@@ -255,6 +263,13 @@ def render_radar_scan(
     u_body = u @ R_wb  # world target velocity in body axes
     r = np.linalg.norm(local, axis=-1)
     keep = (r > 0.5) & (r < max_range)
+    if azimuth_fov_deg is not None:
+        keep &= np.abs(np.arctan2(local[:, 1], local[:, 0])) < np.deg2rad(azimuth_fov_deg)
+    if elevation_fov_deg is not None:
+        rho = np.sqrt(local[:, 0] ** 2 + local[:, 1] ** 2)
+        keep &= np.abs(np.arctan2(local[:, 2], np.maximum(rho, 1e-9))) < np.deg2rad(
+            elevation_fov_deg
+        )
     keep &= rng.uniform(size=keep.shape) > dropout
     pts = local[keep]
     u_body = u_body[keep]

@@ -75,7 +75,10 @@ def preprocess_frame(
 
     ego = estimate_ego_velocity(cloud, cfg.egovel, key=key)
     if cfg.enable_dynamic_object_removal:
-        cloud = filter_cloud(cloud, ego.inlier_mask)
+        # only trust the inlier classification when the estimate passed its
+        # sigma gates: culling by a failed fit would throw away the static
+        # scene and starve registration downstream
+        cloud = filter_cloud(cloud, jnp.where(ego.ok, ego.inlier_mask, cloud.mask))
 
     if cfg.enable_deskew:
         cloud = deskew(cloud, omega, cfg.scan_period)

@@ -55,6 +55,34 @@ def test_recover_velocity_with_dynamic_outliers():
     assert 0.5 < inlier_frac < 0.95
 
 
+def test_consensus_mode_survives_dynamic_object():
+    """A dynamic object occupying >5% of the (FOV-gated) returns defeats the
+    reference's reinsertion heuristic (`radar_ego_velocity_estimator.cpp:
+    216-221`): every hypothesis rejects >5% of points, gets ALL points
+    reinserted, and the refit absorbs the object's Doppler into the weakly
+    observable v_z. Default consensus mode (trimmed consensus refit) must
+    recover the true velocity from the identical scan; reference mode must
+    exhibit the reproduced flaw. This is the distilled form of the circuit
+    accuracy-benchmark failure (ACCURACY.json provenance)."""
+    v_true = np.array([2.0, 0.5, 0.0])
+    cloud = _scan(v_true, seed=11, dynamic_frac=0.12)
+    key = jax.random.PRNGKey(3)
+    res_c = estimate_ego_velocity(cloud, EgoVelConfig(), key=key)
+    assert bool(res_c.ok)
+    np.testing.assert_allclose(np.asarray(res_c.v), v_true, atol=5e-2)
+
+    res_r = estimate_ego_velocity(
+        cloud, EgoVelConfig(reinsert_mode="reference"), key=key
+    )
+    err_r = np.linalg.norm(np.asarray(res_r.v) - v_true)
+    assert err_r > 0.2, (
+        "reference reinsertion unexpectedly recovered the velocity - "
+        "this fixture no longer exercises the documented flaw"
+    )
+    # and the sigma gates flag the poisoned reference-mode fit as not ok
+    assert not bool(res_r.ok)
+
+
 def test_zero_velocity_detection():
     cloud = _scan(np.zeros(3), seed=5)
     res = estimate_ego_velocity(cloud)
