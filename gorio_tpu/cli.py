@@ -45,7 +45,14 @@ def cmd_simulate(args):
         seed=args.seed, duration=args.duration, circuit=args.circuit, stops=args.stops
     )
     imu = sample_imu(traj, seed=args.seed + 1)
-    world = make_world(seed=args.seed + 2, n_landmarks=args.landmarks)
+    # the landmark field must cover everywhere the trajectory can see: extent
+    # = max planar excursion + sensor range (a 40 s straight run travels ~80 m
+    # — past the old fixed ±60 m world, leaving all-empty scans at the tail)
+    extent = float(np.abs(traj.p[:, :2]).max()) + 45.0
+    # --landmarks is calibrated for the default ±60 m world; keep scene
+    # DENSITY constant as the extent grows so scan point counts stay stable
+    n_landmarks = int(args.landmarks * max(1.0, (extent / 60.0) ** 2))
+    world = make_world(seed=args.seed + 2, n_landmarks=n_landmarks, extent=extent)
     dyn = make_dynamic_objects(seed=args.seed + 3, n_objects=args.dynamic) if args.dynamic else None
     stamps = np.arange(0.2, args.duration - 0.2, 1.0 / args.rate)
     for i, t in enumerate(stamps):

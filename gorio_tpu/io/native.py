@@ -187,19 +187,22 @@ class NativeDataset:
 
     def __next__(self):
         stamp = ctypes.c_double()
-        n = self._lib.gorio_dataset_next(
-            self._handle,
-            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self.capacity,
-            FIELDS,
-            ctypes.byref(stamp),
-        )
-        if n == 0:
-            raise StopIteration
-        if n < 0:
-            raise IOError("corrupt frame")
-        data = self._buf[:n].copy()
-        return stamp.value, data[:, :3], data[:, 3], data[:, 4]
+        while True:
+            n = self._lib.gorio_dataset_next(
+                self._handle,
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.capacity,
+                FIELDS,
+                ctypes.byref(stamp),
+            )
+            if n == 0:
+                raise StopIteration
+            if n == -2:  # valid frame, zero returns (sensor dropout) — skip
+                continue
+            if n < 0:
+                raise IOError("corrupt frame")
+            data = self._buf[:n].copy()
+            return stamp.value, data[:, :3], data[:, 3], data[:, 4]
 
     def close(self):
         if getattr(self, "_handle", None):
@@ -237,16 +240,19 @@ class NativePipelineDataset:
 
     def __next__(self):
         stamp = ctypes.c_double()
-        n = self._lib.gorio_pipeline_dataset_next(
-            self._handle,
-            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.byref(stamp),
-        )
-        if n == 0:
-            raise StopIteration
-        if n < 0:
-            raise IOError("corrupt frame")
-        return stamp.value, n, self._buf
+        while True:
+            n = self._lib.gorio_pipeline_dataset_next(
+                self._handle,
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(stamp),
+            )
+            if n == 0:
+                raise StopIteration
+            if n == -2:  # valid frame, zero returns (sensor dropout) — skip
+                continue
+            if n < 0:
+                raise IOError("corrupt frame")
+            return stamp.value, n, self._buf
 
     def backlog(self, stage: int = 0) -> int:
         return int(self._lib.gorio_pipeline_dataset_backlog(self._handle, stage))

@@ -60,8 +60,19 @@ def simulate_trajectory(
     circuit: bool = False,
     stops: int = 0,
     stop_duration: float = 1.5,
+    max_tilt: float = 0.1,
 ) -> Trajectory:
-    """Smooth random trajectory: integrate body rates/velocities at `rate` Hz.
+    """Smooth random ground-vehicle trajectory sampled at `rate` Hz.
+
+    Attitude is parameterized directly — yaw integrates a smooth random rate,
+    roll/pitch are BOUNDED smooth signals (amplitude `max_tilt` rad) — and the
+    body angular velocity is derived from R(t) via w_i = log(R_i^T R_{i+1})/dt,
+    so gyro integration under the left-endpoint convention the LPM integrator
+    uses (`preint.h:421-470`) reproduces R exactly. (The previous formulation
+    integrated unconstrained random rates: over tens of seconds the platform
+    pitched past 45° and dived tens of meters — physically absurd for the
+    ground vehicles the reference targets, and fatal for a ±22.5°-elevation
+    radar whose scans go empty once the wedge leaves the scene.)
 
     `circuit=True` makes a closed loop (constant yaw rate 2*pi/duration plus
     small perturbations) returning near the start — the NTU `loop2/loop3`-style
@@ -69,18 +80,23 @@ def simulate_trajectory(
     many zero-velocity dwells of `stop_duration` seconds (smoothly gated to
     zero) — the stationary intervals the reference's zero-velocity detection
     handles (`radar_ego_velocity_estimator.cpp:102-118`)."""
+    from scipy.spatial.transform import Rotation
+
     rng = np.random.default_rng(seed)
     t = np.arange(0.0, duration + 0.5 / rate, 1.0 / rate)
-    omega = _smooth_signal(rng, t, 3, omega_amp)
+    sig = _smooth_signal(rng, t, 3, omega_amp)
+    tilt = _smooth_signal(rng, t, 3, max_tilt * 0.5)
+    tilt = tilt - tilt[0]  # start level: R[0] = I
     v_body = _smooth_signal(rng, t, 3, vel_amp)
+    yaw_rate = sig[:, 2]
     if circuit:
-        omega *= 0.15
-        omega[:, 2] += 2.0 * np.pi / duration
-        v_body *= 0.3
+        yaw_rate = 0.15 * yaw_rate + 2.0 * np.pi / duration
+        tilt = tilt * 0.15
+        v_body = v_body * 0.3
     v_body[:, 0] += forward_speed
     v_body[:, 2] *= 0.2  # mostly planar, like a ground robot
+    gate = np.ones_like(t)
     if stops > 0:
-        gate = np.ones_like(t)
         centers = np.linspace(duration * 0.25, duration * 0.75, stops)
         for c in centers:
             # smooth ramp to exactly zero inside the dwell
@@ -89,20 +105,24 @@ def simulate_trajectory(
             ramp = np.clip((d - half) / 0.5, 0.0, 1.0)
             gate = np.minimum(gate, 0.5 - 0.5 * np.cos(np.pi * ramp))
         v_body = v_body * gate[:, None]
-        omega = omega * gate[:, None]
+        yaw_rate = yaw_rate * gate
+        tilt = tilt * gate[:, None]
 
-    from scipy.spatial.transform import Rotation
-
-    T = t.shape[0]
-    R = np.zeros((T, 3, 3))
-    p = np.zeros((T, 3))
-    R[0] = np.eye(3)
     dt = 1.0 / rate
-    for i in range(T - 1):
-        # left-endpoint integration, matching the reference LPM integrator
-        # (`preint.h:421-470`): R_{i+1} = R_i exp(w_i dt)
-        R[i + 1] = R[i] @ Rotation.from_rotvec(omega[i] * dt).as_matrix()
-        p[i + 1] = p[i] + R[i] @ v_body[i] * dt
+    yaw = np.concatenate([[0.0], np.cumsum(yaw_rate[:-1]) * dt])
+    roll, pitch = tilt[:, 0], np.clip(tilt[:, 1], -max_tilt, max_tilt)
+    R = Rotation.from_euler(
+        "zyx", np.stack([yaw, pitch, roll], axis=-1)
+    ).as_matrix()
+    # exact body rates for the left-endpoint convention: R_{i+1} = R_i exp(w_i dt)
+    omega = np.zeros((t.shape[0], 3))
+    rel = Rotation.from_matrix(
+        np.einsum("nji,njk->nik", R[:-1], R[1:])
+    ).as_rotvec()
+    omega[:-1] = rel / dt
+    omega[-1] = omega[-2]
+    p = np.zeros((t.shape[0], 3))
+    p[1:] = np.cumsum(np.einsum("nij,nj->ni", R[:-1], v_body[:-1]) * dt, axis=0)
     return Trajectory(t=t, R=R, p=p, omega=omega, v_body=v_body)
 
 

@@ -146,6 +146,12 @@ int gorio_dataset_next(void* ds, float* out, uint32_t capacity, uint32_t fields,
   gorio::Frame fr;
   if (!static_cast<gorio::Dataset*>(ds)->next(&fr)) return 0;
   if (!fr.ok || fr.fields != fields) return -1;
+  // A valid frame with zero returns (total sensor dropout) must stay
+  // distinguishable from end-of-sequence (0): report -2 so readers can skip.
+  if (fr.count == 0) {
+    *stamp = fr.stamp;
+    return -2;
+  }
   uint32_t n = fr.count < capacity ? fr.count : capacity;
   std::memcpy(out, fr.data.data(), static_cast<size_t>(n) * fields * 4);
   *stamp = fr.stamp;

@@ -149,7 +149,8 @@ void* gorio_pipeline_dataset_open(const char* const* paths, int n_paths,
 }
 
 // Pops the next packed frame into `out` (capacity * fields floats).
-// Returns the valid point count, 0 at end of sequence, -1 on a corrupt frame.
+// Returns the valid point count, 0 at end of sequence, -1 on a corrupt
+// frame, -2 for a valid frame with zero returns (sensor dropout).
 int gorio_pipeline_dataset_next(void* h, float* out, double* stamp) {
   auto* dp = static_cast<gorio::DatasetPipeline*>(h);
   void* item = nullptr;
@@ -159,7 +160,7 @@ int gorio_pipeline_dataset_next(void* h, float* out, double* stamp) {
   *stamp = pk->stamp;
   int n = pk->n;
   delete pk;
-  return n;
+  return n == 0 ? -2 : n;
 }
 
 int gorio_pipeline_dataset_backlog(void* h, int stage) {

@@ -29,6 +29,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
+
+# Pin the SAME numerics the test suite runs under (conftest.py: CPU + x64):
+# stored numbers and regression re-runs must share one configuration. (The
+# axon sitecustomize may have imported jax already, so go through the config.)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REPO = Path(__file__).resolve().parent.parent
 ACCURACY_JSON = REPO / "ACCURACY.json"
@@ -37,14 +51,14 @@ SEQUENCES = {
     "straight": {
         "simulate": [
             "--duration", "40", "--rate", "5", "--seed", "21",
-            "--stops", "2", "--dynamic", "4", "--gps", "--landmarks", "9000",
+            "--stops", "2", "--dynamic", "4", "--gps", "--landmarks", "30000",
         ],
         "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm", "--no-loops"],
     },
     "circuit": {
         "simulate": [
             "--duration", "60", "--rate", "5", "--seed", "22", "--circuit",
-            "--dynamic", "2", "--landmarks", "9000",
+            "--dynamic", "2", "--landmarks", "30000",
         ],
         "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm"],
     },

@@ -54,6 +54,26 @@ def test_grf_roundtrip_and_dataset(tmp_path):
         np.testing.assert_allclose(dop, td)
 
 
+def test_empty_frame_does_not_truncate_sequence(tmp_path):
+    """A valid frame with zero returns (total sensor dropout) must not be
+    mistaken for end-of-sequence: both readers skip it and continue. This bit
+    the accuracy benchmark — one empty FOV-limited scan silently cut a 198-
+    frame sequence to 57."""
+    rng = np.random.default_rng(2)
+    paths = []
+    for i, n in enumerate([40, 0, 30, 0, 20]):
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        p = tmp_path / f"{i:04d}.grf"
+        gn.write_frame(p, 1.0 + i, xyz, np.ones(n, np.float32), np.zeros(n, np.float32))
+        paths.append(p)
+    frames = list(gn.NativeDataset(paths, capacity=64))
+    assert [f[1].shape[0] for f in frames] == [40, 30, 20]
+    assert [f[0] for f in frames] == [1.0, 3.0, 5.0]
+    pframes = [(s, n) for s, n, _ in gn.NativePipelineDataset(paths, capacity=64)]
+    assert [n for _, n in pframes] == [40, 30, 20]
+    assert [s for s, _ in pframes] == [1.0, 3.0, 5.0]
+
+
 def test_dataset_capacity_clips(tmp_path):
     xyz = np.zeros((50, 3), np.float32)
     p = tmp_path / "a.grf"
