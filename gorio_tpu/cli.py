@@ -42,7 +42,8 @@ def cmd_simulate(args):
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
     traj = simulate_trajectory(
-        seed=args.seed, duration=args.duration, circuit=args.circuit, stops=args.stops
+        seed=args.seed, duration=args.duration, circuit=args.circuit, stops=args.stops,
+        laps=args.laps,
     )
     imu = sample_imu(traj, seed=args.seed + 1)
     # the landmark field must cover everywhere the trajectory can see: extent
@@ -253,6 +254,9 @@ def cmd_slam(args):
                     "n_frames": n,
                     "n_keyframes": len(slam.keyframes),
                     "n_loops": len(slam.loops),
+                    # per-gate loop-closure rejection counts: which gate
+                    # starves recall (diagnostic the reference lacks)
+                    "loop_gate_counts": slam.loop_detector.gate_counts,
                     "point_distribution": (point_dist / max(n, 1)).round(2).tolist(),
                 },
                 fh,
@@ -462,6 +466,93 @@ def cmd_convert(args):
     print(f"converted {n} frames -> {args.output}")
 
 
+def cmd_stream(args):
+    """Wall-clock streaming replay with backpressure + deadline accounting
+    (parity: `bag_player.py` + `/read_until` flow control; see
+    pipeline/streaming.py)."""
+    from .io.tum import save_tum
+    from .pipeline.odometry import OdometryConfig, ScanMatchingOdometry
+    from .pipeline.preprocessing import PreprocessConfig
+    from .pipeline.slam import RadarGraphSLAM, SLAMConfig
+    from .pipeline.streaming import stream_sequence
+
+    src = Path(args.dataset)
+    frames = sorted(src.glob("*.grf"))
+    if not frames:
+        sys.exit(f"no .grf frames in {src}")
+    imu = np.load(src / "imu.npz")
+    slam = RadarGraphSLAM(
+        SLAMConfig(
+            enable_loop_closure=not args.no_loops,
+            preint_mode=args.preint,
+            gyr_var=float(imu["gyr_var"]),
+            vel_var=float(imu["vel_var"]),
+        )
+    )
+    for t, g in zip(imu["gyr_t"], imu["gyr"]):
+        slam.push_imu(t, g)
+    for t, v in zip(imu["vel_t"], imu["vel"]):
+        slam.push_twist(t, v)
+    odo = ScanMatchingOdometry(OdometryConfig(registration=args.registration))
+    if args.preprocess:
+        odo.preprocess_cfg = PreprocessConfig()
+    if args.warmup:
+        # compile the fused programs outside the timed stream (first-call XLA
+        # compilation would otherwise be charged as multi-second latency)
+        from .io.native import NativeDataset
+
+        w = ScanMatchingOdometry(OdometryConfig(registration=args.registration))
+        w.preprocess_cfg = odo.preprocess_cfg
+        ds = NativeDataset(frames[:2], capacity=args.capacity)
+        for stamp, xyz, inten, dop in ds:
+            packed = np.zeros((args.capacity, 5), np.float32)
+            packed[: len(xyz), :3] = xyz
+            packed[: len(xyz), 3] = inten
+            packed[: len(xyz), 4] = dop
+            w.step_fused(float(stamp), packed, len(xyz), ground=args.floor,
+                         omega=np.zeros(3) if args.preprocess else None)
+    report = stream_sequence(
+        frames, slam, odo, imu={"gyr_t": imu["gyr_t"], "gyr": imu["gyr"]},
+        rate_multiplier=args.rate_multiplier, mode=args.mode,
+        queue_depth=args.queue_depth, capacity=args.capacity,
+        optimize_every=args.optimize_every, optimize_window=args.optimize_window,
+        ground=args.floor,
+    )
+    print(report.to_json())
+    if args.report_out:
+        with open(args.report_out, "w") as fh:
+            fh.write(report.to_json())
+    if args.output:
+        slam.optimize()
+        stamps, poses = slam.trajectory()
+        save_tum(args.output, stamps, poses)
+
+
+def cmd_convert_bag(args):
+    """Rosbag -> .grf sequence (dependency-free rosbag v2.0 reader; applies
+    the NTU Radar_to_livox extrinsic chain unless --no-ntu-extrinsic)."""
+    from .io.rosbag import RosbagReader, convert_rosbag
+
+    if args.list_topics:
+        for topic, (msgtype, count) in sorted(RosbagReader(args.bag).topics_summary().items()):
+            print(f"{topic:<40} {msgtype:<40} {count}")
+        return
+    if not args.output:
+        sys.exit("--output is required (or use --list-topics)")
+    n = convert_rosbag(
+        args.bag,
+        args.output,
+        radar_topic=args.radar_topic,
+        imu_topic=args.imu_topic,
+        twist_topic=args.twist_topic,
+        gps_topic=args.gps_topic,
+        power_threshold=args.power_threshold,
+        apply_ntu_extrinsic=not args.no_ntu_extrinsic,
+        max_frames=args.max_frames,
+    )
+    print(f"converted {n} radar frames -> {args.output}")
+
+
 def cmd_align(args):
     """Registration benchmark app: align two PCD scans with every variant and
     print fitness + timing — parity with `ndt_omp/apps/align.cpp` and
@@ -574,11 +665,16 @@ def main(argv=None):
     s = sub.add_parser("simulate")
     s.add_argument("--circuit", action="store_true",
                    help="closed-loop trajectory (revisits the start; exercises loop closure)")
+    s.add_argument("--laps", type=float, default=1.0,
+                   help="circuit laps within --duration (2+ = NTU loop2/loop3-style multi-revisit)")
     s.add_argument("--output", required=True)
     s.add_argument("--duration", type=float, default=20.0)
     s.add_argument("--rate", type=float, default=5.0)
     s.add_argument("--seed", type=int, default=0)
-    s.add_argument("--landmarks", type=int, default=9000)
+    s.add_argument("--landmarks", type=int, default=9000,
+                   help="landmark count PER ±60 m world tile (density-calibrated: "
+                        "the actual count auto-scales with the trajectory's extent, "
+                        "keeping scene density constant — scale it nowhere else)")
     s.add_argument("--capacity", type=int, default=2048)
     s.add_argument("--stops", type=int, default=0,
                    help="number of zero-velocity dwell intervals")
@@ -648,6 +744,43 @@ def main(argv=None):
     s.add_argument("--min-range", type=float, default=0.0)
     s.add_argument("--max-range", type=float, default=float("inf"))
     s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--dataset", required=True)
+    s.add_argument("--rate-multiplier", type=float, default=1.0,
+                   help="replay speed vs the recording clock (1.0 = real time)")
+    s.add_argument("--mode", default="block", choices=["block", "drop"],
+                   help="backpressure: block the producer (/read_until contract) "
+                        "or drop the oldest queued frame (live-sensor behavior)")
+    s.add_argument("--queue-depth", type=int, default=4)
+    s.add_argument("--capacity", type=int, default=2048)
+    s.add_argument("--registration", default="apdgicp", choices=["apdgicp", "gicp", "ndt"])
+    s.add_argument("--preint", default="lpm", choices=["lpm", "ugpm"])
+    s.add_argument("--preprocess", action="store_true")
+    s.add_argument("--floor", action="store_true")
+    s.add_argument("--no-loops", action="store_true")
+    s.add_argument("--optimize-every", type=int, default=0)
+    s.add_argument("--optimize-window", type=int, default=0)
+    s.add_argument("--warmup", action="store_true", default=True)
+    s.add_argument("--no-warmup", dest="warmup", action="store_false")
+    s.add_argument("--report-out", default=None)
+    s.add_argument("--output", default=None, help="final optimized TUM trajectory")
+    s.set_defaults(fn=cmd_stream)
+
+    s = sub.add_parser("convert-bag")
+    s.add_argument("bag", help="rosbag v2.0 file (NTU4DRadLM-style)")
+    s.add_argument("--output", default=None)
+    s.add_argument("--list-topics", action="store_true",
+                   help="print topic/type/count summary and exit")
+    s.add_argument("--radar-topic", default="/radar_enhanced_pcl")
+    s.add_argument("--imu-topic", default="/imu/data")
+    s.add_argument("--twist-topic", default=None)
+    s.add_argument("--gps-topic", default=None)
+    s.add_argument("--power-threshold", type=float, default=0.0)
+    s.add_argument("--no-ntu-extrinsic", action="store_true",
+                   help="skip the Radar_to_livox rotation (non-NTU rigs)")
+    s.add_argument("--max-frames", type=int, default=None)
+    s.set_defaults(fn=cmd_convert_bag)
 
     s = sub.add_parser("align")
     s.add_argument("target")

@@ -1,0 +1,501 @@
+"""Structure-exploiting pose-graph solver: block-sparse CG with a
+block-tridiagonal (chain) preconditioner.
+
+TPU-native counterpart of g2o's sparse backends (`graph_slam.cpp:353-382`,
+solver `lm_var_cholmod`): where CHOLMOD exploits the fill-in pattern of a
+SLAM chain with sparse Cholesky, this solver never materializes H at all —
+the normal equations live as block arrays
+
+    Hdiag (K,6,6)   one 6x6 block per pose (all unary + binary self terms)
+    Hoff  (E,6,6)   one 6x6 block per *binary* factor e: H[i_e, j_e]
+                    (the transpose block H[j,i] is implied)
+
+and the damped system is solved by conjugate gradients whose matvec is two
+segment scatter-adds — O(E) work/memory instead of the dense solver's O(K^2)
+assembly + O(K^3) Cholesky (`solver.py:build_normal_equations`).
+
+The preconditioner is the exact block-tridiagonal slice of H (consecutive
+(k, k+1) blocks + all diagonal blocks), factorized by a block-Thomas
+recursion (`lax.scan` of 6x6 ops). A SLAM graph is a chain of odometry /
+preintegration factors plus a few loop closures and unary priors: the unary
+terms land in Hdiag and the chain blocks in the tridiagonal, so M^-1 H =
+I + (low rank from loop closures) and CG converges in roughly
+(#loop closures + 1) iterations regardless of K.
+
+The joint pose+plane variant appends the (3M) plane coordinates as a
+block-diagonal tail (planes: dense 3Mx3M, M is tiny — one floor plane),
+with pose-plane cross blocks applied in the matvec but left out of the
+preconditioner (another low-rank correction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .factors import (
+    BetweenFactors,
+    GraphData,
+    GroundPlaneFactors,
+    PlaneGraphData,
+    PlanePlaneFactors,
+    PlanePriorFactors,
+    PointPriorFactors,
+    PriorFactors,
+    QuatPriorFactors,
+    SE3PlaneFactors,
+    UTMAlignFactors,
+    VecPriorFactors,
+    ZBetweenFactors,
+    retract,
+    retract_plane,
+)
+from .solver import (
+    SolveConfig,
+    _family_terms,
+    _weighted,
+    graph_chi2,
+    plane_graph_chi2,
+)
+
+
+class SparseSolveResult(NamedTuple):
+    poses: jax.Array  # (K, 4, 4)
+    chi2: jax.Array
+    iterations: jax.Array
+    lm_lambda: jax.Array
+    H_diag: jax.Array  # (K, 6, 6) diagonal blocks of H at the solution
+
+
+class SparsePlaneSolveResult(NamedTuple):
+    poses: jax.Array
+    planes: jax.Array  # (M, 4)
+    chi2: jax.Array
+    iterations: jax.Array
+    lm_lambda: jax.Array
+    H_diag: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Block normal equations
+# ---------------------------------------------------------------------------
+
+
+def build_block_normal_equations(poses, graph: GraphData):
+    """Assemble (Hdiag (K,6,6), Hoff (E,6,6), b (K,6), chi2) — the block-CSR
+    form of `solver.build_normal_equations` without the (K,K,6,6) tensor."""
+    K = poses.shape[0]
+    dtype = poses.dtype
+    Hdiag = jnp.zeros((K, 6, 6), dtype)
+    b = jnp.zeros((K, 6), dtype)
+    chi2 = jnp.zeros((), dtype)
+
+    f = graph.between
+    r, Ji, Jj = _family_terms(poses, f, BetweenFactors.residual, unary=False)(
+        f.i, f.j, f.T_meas
+    )
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Jjw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jj)
+    Hdiag = Hdiag.at[f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    Hdiag = Hdiag.at[f.j].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jjw, w))
+    Hoff = jnp.einsum("fji,fjk,f->fik", Jiw, Jjw, w)  # H[i_e, j_e]
+    b = b.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    b = b.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jjw, rw, w))
+    chi2 = chi2 + c2
+
+    def add_unary(Hdiag, b, chi2, fac, res_fn, meas):
+        r, Ji = _family_terms(poses, fac, res_fn, unary=True)(fac.i, *meas)
+        rw, w, c2 = _weighted(r, fac.sqrt_info, fac.robust_delta, fac.mask)
+        Jiw = jnp.einsum("fij,fjk->fik", fac.sqrt_info, Ji)
+        Hdiag = Hdiag.at[fac.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+        b = b.at[fac.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+        return Hdiag, b, chi2 + c2
+
+    Hdiag, b, chi2 = add_unary(
+        Hdiag, b, chi2, graph.priors, PriorFactors.residual, (graph.priors.T_meas,)
+    )
+    Hdiag, b, chi2 = add_unary(
+        Hdiag, b, chi2, graph.point_priors, PointPriorFactors.residual,
+        (graph.point_priors.p_meas, graph.point_priors.axis_mask),
+    )
+    Hdiag, b, chi2 = add_unary(
+        Hdiag, b, chi2, graph.quat_priors, QuatPriorFactors.residual,
+        (graph.quat_priors.R_meas,),
+    )
+    Hdiag, b, chi2 = add_unary(
+        Hdiag, b, chi2, graph.vec_priors, VecPriorFactors.residual,
+        (graph.vec_priors.dir_world, graph.vec_priors.dir_meas),
+    )
+    Hdiag, b, chi2 = add_unary(
+        Hdiag, b, chi2, graph.plane_factors, GroundPlaneFactors.residual,
+        (graph.plane_factors.plane_world, graph.plane_factors.plane_meas),
+    )
+    return Hdiag, Hoff, b, chi2
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal preconditioner (block-Thomas)
+# ---------------------------------------------------------------------------
+
+
+def _chain_upper_blocks(Hoff, fi, fj, K, dtype):
+    """(K-1, 6, 6) consecutive blocks C[k] = H[k, k+1], gathered from the
+    per-factor off-diagonal blocks (non-chain factors contribute nothing)."""
+    C = jnp.zeros((K, 6, 6), dtype)
+    fwd = (fj == fi + 1)
+    C = C.at[fi].add(jnp.where(fwd[:, None, None], Hoff, 0.0))
+    rev = (fi == fj + 1)  # factor stored as (k+1, k): H[k, k+1] = Hoff^T
+    C = C.at[fj].add(jnp.where(rev[:, None, None], jnp.swapaxes(Hoff, 1, 2), 0.0))
+    return C[: K - 1]
+
+
+def block_tridiag_factor(A, C):
+    """Block-Thomas factorization of the SPD block tridiagonal (A_k, C_k):
+    returns Dinv (K,6,6) with D_0 = A_0,
+    D_k = A_k - C_{k-1}^T D_{k-1}^{-1} C_{k-1}."""
+
+    def step(Dinv_prev, inputs):
+        Ak, Ck_prev = inputs
+        Dk = Ak - Ck_prev.T @ Dinv_prev @ Ck_prev
+        Dinv = jnp.linalg.inv(Dk)
+        return Dinv, Dinv
+
+    Dinv0 = jnp.linalg.inv(A[0])
+    _, Dinvs = jax.lax.scan(step, Dinv0, (A[1:], C))
+    return jnp.concatenate([Dinv0[None], Dinvs])
+
+
+def block_tridiag_solve(Dinv, C, b):
+    """Solve the block-tridiagonal system given the block-Thomas factors."""
+
+    def fwd(z_prev, inputs):
+        bk, Ck_prev, Dinv_prev = inputs
+        z = bk - Ck_prev.T @ (Dinv_prev @ z_prev)
+        return z, z
+
+    z0 = b[0]
+    _, zs = jax.lax.scan(fwd, z0, (b[1:], C, Dinv[:-1]))
+    z = jnp.concatenate([z0[None], zs])
+
+    def bwd(x_next, inputs):
+        zk, Ck, Dinvk = inputs
+        x = Dinvk @ (zk - Ck @ x_next)
+        return x, x
+
+    xK = Dinv[-1] @ z[-1]
+    _, xs = jax.lax.scan(bwd, xK, (z[:-1], C, Dinv[:-1]), reverse=True)
+    return jnp.concatenate([xs, xK[None]])
+
+
+# ---------------------------------------------------------------------------
+# Pose-only solver
+# ---------------------------------------------------------------------------
+
+
+def _damped(Hdiag, lam):
+    d = jnp.diagonal(Hdiag, axis1=1, axis2=2)  # (K, 6)
+    damp = lam * jnp.maximum(d, 1.0)
+    ii = jnp.arange(6)
+    return Hdiag.at[:, ii, ii].add(damp)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_graph_sparse(
+    poses0, graph: GraphData, cfg: SolveConfig = SolveConfig()
+) -> SparseSolveResult:
+    """LM over the block-sparse normal equations. Semantics match
+    `optimize_graph` (same factors, damping, accept rule); only the linear
+    solve differs: preconditioned CG instead of dense Cholesky."""
+    K = poses0.shape[0]
+    dtype = poses0.dtype
+    f = graph.between
+
+    def lin(poses):
+        Hdiag, Hoff, b, chi2 = build_block_normal_equations(poses, graph)
+        if cfg.fix_first:
+            eye = jnp.eye(6, dtype=dtype)
+            Hdiag = Hdiag.at[0].set(eye)
+            touch0 = (f.i == 0) | (f.j == 0)
+            Hoff = jnp.where(touch0[:, None, None], 0.0, Hoff)
+            b = b.at[0].set(0.0)
+        return Hdiag, Hoff, b, chi2
+
+    def solve(Hdiag, Hoff, b, lam):
+        A = _damped(Hdiag, lam)
+        C = _chain_upper_blocks(Hoff, f.i, f.j, K, dtype)
+        Dinv = block_tridiag_factor(A, C)
+
+        def mv(x):
+            y = jnp.einsum("kij,kj->ki", A, x)
+            y = y.at[f.i].add(jnp.einsum("eij,ej->ei", Hoff, x[f.j]))
+            y = y.at[f.j].add(jnp.einsum("eji,ej->ei", Hoff, x[f.i]))
+            return y
+
+        x, _ = jax.scipy.sparse.linalg.cg(
+            mv, -b, M=lambda v: block_tridiag_solve(Dinv, C, v), maxiter=cfg.cg_iters
+        )
+        return x
+
+    def body(state):
+        poses, lam, chi2_prev, it, done, Hd_last = state
+        Hdiag, Hoff, b, chi2 = lin(poses)
+        delta = solve(Hdiag, Hoff, b, lam)
+        if cfg.fix_first:
+            delta = delta.at[0].set(0.0)
+        poses_new = jax.vmap(retract)(poses, delta)
+        chi2_new = graph_chi2(poses_new, graph)
+        accept = chi2_new < chi2
+        poses_out = jnp.where(accept, poses_new, poses)
+        lam_out = jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor)
+        rel = jnp.abs(chi2 - chi2_new) / jnp.maximum(chi2, 1e-30)
+        done_new = accept & (rel < cfg.rel_tol)
+        return poses_out, lam_out, jnp.where(accept, chi2_new, chi2), it + 1, done_new, Hdiag
+
+    def cond(state):
+        _, _, _, it, done, _ = state
+        return (it < cfg.max_iterations) & (~done)
+
+    Hd0 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (K, 6, 6))
+    init = (
+        poses0, jnp.asarray(cfg.lm_lambda_init, dtype), jnp.asarray(jnp.inf, dtype),
+        0, False, Hd0,
+    )
+    poses, lam, chi2, iters, _, Hd = jax.lax.while_loop(cond, body, init)
+    return SparseSolveResult(
+        poses=poses, chi2=chi2, iterations=iters, lm_lambda=lam, H_diag=Hd
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joint pose + plane solver
+# ---------------------------------------------------------------------------
+
+
+def _plane_block_terms(poses, planes, pg: PlaneGraphData):
+    """Block contributions of the plane-extension families:
+    pose diag (K,6,6), pose-pose off blocks for z_between (E2,6,6),
+    dense plane block (3M,3M), pose-plane cross blocks (F,6,3),
+    gradients, chi2. Mirrors `solver._plane_terms` without (K,K,...)."""
+    K, M = poses.shape[0], planes.shape[0]
+    dtype = poses.dtype
+    z3 = jnp.zeros(3, dtype)
+    z6 = jnp.zeros(6, dtype)
+
+    Hx = jnp.zeros((K, 6, 6), dtype)
+    Hpp = jnp.zeros((M, M, 3, 3), dtype)
+    bx = jnp.zeros((K, 6), dtype)
+    bp = jnp.zeros((M, 3), dtype)
+    chi2 = jnp.zeros((), dtype)
+
+    # plane priors (unary on plane)
+    f = pg.plane_priors
+
+    def pp_one(fi, nm, dm):
+        p = planes[fi]
+        r = PlanePriorFactors.residual(p, nm, dm)
+        J = jax.jacfwd(lambda d: PlanePriorFactors.residual(retract_plane(p, d), nm, dm))(z3)
+        return r, J
+
+    r, J = jax.vmap(pp_one)(f.i, f.n_meas, f.d_meas)
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jw = jnp.einsum("fij,fjk->fik", f.sqrt_info, J)
+    Hpp = Hpp.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jw, Jw, w))
+    bp = bp.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jw, rw, w))
+    chi2 = chi2 + c2
+
+    # plane-plane (M is tiny: keep dense)
+    f = pg.plane_plane
+
+    def pl2_one(fi, fj, kind, meas):
+        pi, pj = planes[fi], planes[fj]
+
+        def local(d):
+            return PlanePlaneFactors.residual(
+                retract_plane(pi, d[:3]), retract_plane(pj, d[3:]), kind, meas
+            )
+
+        r = local(z6)
+        J = jax.jacfwd(local)(z6)
+        return r, J[:, :3], J[:, 3:]
+
+    r, Ji, Jj = jax.vmap(pl2_one)(f.i, f.j, f.kind, f.meas)
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Jjw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jj)
+    Hpp = Hpp.at[f.i, f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    Hpp = Hpp.at[f.j, f.j].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jjw, w))
+    Hpp = Hpp.at[f.i, f.j].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jjw, w))
+    Hpp = Hpp.at[f.j, f.i].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jiw, w))
+    bp = bp.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    bp = bp.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jjw, rw, w))
+    chi2 = chi2 + c2
+
+    # se3-plane: pose i observes plane j -> cross blocks
+    f = pg.se3_plane
+
+    def sp_one(fi, fj, meas):
+        T, p = poses[fi], planes[fj]
+
+        def local(d):
+            return SE3PlaneFactors.residual(retract(T, d[:6]), retract_plane(p, d[6:]), meas)
+
+        d0 = jnp.zeros(9, dtype)
+        r = local(d0)
+        J = jax.jacfwd(local)(d0)
+        return r, J[:, :6], J[:, 6:]
+
+    r, Jx, Jp = jax.vmap(sp_one)(f.i, f.j, f.plane_meas)
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jxw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jx)
+    Jpw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jp)
+    Hx = Hx.at[f.i].add(jnp.einsum("fji,fjk,f->fik", Jxw, Jxw, w))
+    Hpp = Hpp.at[f.j, f.j].add(jnp.einsum("fji,fjk,f->fik", Jpw, Jpw, w))
+    Hxp = jnp.einsum("fji,fjk,f->fik", Jxw, Jpw, w)  # (F, 6, 3) cross blocks
+    bx = bx.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jxw, rw, w))
+    bp = bp.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jpw, rw, w))
+    chi2 = chi2 + c2
+
+    # z-between (pose-pose, 1-dof)
+    f = pg.z_between
+    r, Ji, Jj = _family_terms(poses, f, ZBetweenFactors.residual, unary=False)(
+        f.i, f.j, f.z_meas
+    )
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Jjw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Jj)
+    Hx = Hx.at[f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    Hx = Hx.at[f.j].add(jnp.einsum("fji,fjk,f->fik", Jjw, Jjw, w))
+    Hz_off = jnp.einsum("fji,fjk,f->fik", Jiw, Jjw, w)  # (E2, 6, 6)
+    bx = bx.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    bx = bx.at[f.j].add(jnp.einsum("fji,fj,f->fi", Jjw, rw, w))
+    chi2 = chi2 + c2
+
+    # UTM alignment (unary on pose)
+    f = pg.utm_align
+    r, Ji = _family_terms(poses, f, UTMAlignFactors.residual, unary=True)(
+        f.i, f.p_utm, f.p_world
+    )
+    rw, w, c2 = _weighted(r, f.sqrt_info, f.robust_delta, f.mask)
+    Jiw = jnp.einsum("fij,fjk->fik", f.sqrt_info, Ji)
+    Hx = Hx.at[f.i].add(jnp.einsum("fji,fjk,f->fik", Jiw, Jiw, w))
+    bx = bx.at[f.i].add(jnp.einsum("fji,fj,f->fi", Jiw, rw, w))
+    chi2 = chi2 + c2
+
+    return Hx, Hz_off, Hpp, Hxp, bx, bp, chi2
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_graph_with_planes_sparse(
+    poses0,
+    planes0,
+    graph: GraphData,
+    plane_graph: PlaneGraphData,
+    cfg: SolveConfig = SolveConfig(),
+) -> SparsePlaneSolveResult:
+    """Joint LM over poses + plane vertices on the block-sparse system.
+    The plane tail (3M coords) rides CG as a block-diagonal extension; the
+    pose-plane cross blocks are exact in the matvec, absent from the
+    preconditioner (one floor plane = rank-3 correction)."""
+    K = poses0.shape[0]
+    M = planes0.shape[0]
+    dtype = poses0.dtype
+    fb = graph.between
+    fz = plane_graph.z_between
+    fsp = plane_graph.se3_plane
+    ii6 = jnp.arange(6)
+    ii3 = jnp.arange(3)
+
+    def lin(poses, planes):
+        Hdiag, Hoff, b, chi2 = build_block_normal_equations(poses, graph)
+        Hx, Hz_off, Hpp, Hxp, bx, bp, c2p = _plane_block_terms(poses, planes, plane_graph)
+        Hdiag = Hdiag + Hx
+        b = b + bx
+        if cfg.fix_first:
+            eye = jnp.eye(6, dtype=dtype)
+            Hdiag = Hdiag.at[0].set(eye)
+            Hoff = jnp.where(((fb.i == 0) | (fb.j == 0))[:, None, None], 0.0, Hoff)
+            Hz_off = jnp.where(((fz.i == 0) | (fz.j == 0))[:, None, None], 0.0, Hz_off)
+            Hxp_ = jnp.where((fsp.i == 0)[:, None, None], 0.0, Hxp)
+            b = b.at[0].set(0.0)
+        else:
+            Hxp_ = Hxp
+        return Hdiag, Hoff, Hz_off, Hpp, Hxp_, b, bp, chi2 + c2p
+
+    def solve(Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, lam):
+        A = _damped(Hdiag, lam)
+        # damped dense plane block (3M, 3M)
+        Hpp_d = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(3 * M, 3 * M)
+        dp = jnp.diag(Hpp_d)
+        Hpp_d = Hpp_d + jnp.diag(lam * jnp.maximum(dp, 1.0))
+        Hpp_inv = jnp.linalg.inv(
+            Hpp_d + 1e-12 * jnp.eye(3 * M, dtype=dtype)
+        )
+        # chain preconditioner over poses: between + chain z_between blocks
+        C = _chain_upper_blocks(Hoff, fb.i, fb.j, K, dtype)
+        C = C + _chain_upper_blocks(Hz_off, fz.i, fz.j, K, dtype)
+        Dinv = block_tridiag_factor(A, C)
+
+        def mv(xt):
+            x, xp = xt  # (K,6), (M,3)
+            y = jnp.einsum("kij,kj->ki", A, x)
+            y = y.at[fb.i].add(jnp.einsum("eij,ej->ei", Hoff, x[fb.j]))
+            y = y.at[fb.j].add(jnp.einsum("eji,ej->ei", Hoff, x[fb.i]))
+            y = y.at[fz.i].add(jnp.einsum("eij,ej->ei", Hz_off, x[fz.j]))
+            y = y.at[fz.j].add(jnp.einsum("eji,ej->ei", Hz_off, x[fz.i]))
+            y = y.at[fsp.i].add(jnp.einsum("fij,fj->fi", Hxp, xp[fsp.j]))
+            yp = (Hpp_d @ xp.reshape(-1)).reshape(M, 3)
+            yp = yp.at[fsp.j].add(jnp.einsum("fij,fi->fj", Hxp, x[fsp.i]))
+            return (y, yp)
+
+        def precond(vt):
+            v, vp = vt
+            return (
+                block_tridiag_solve(Dinv, C, v),
+                (Hpp_inv @ vp.reshape(-1)).reshape(M, 3),
+            )
+
+        (x, xp), _ = jax.scipy.sparse.linalg.cg(
+            mv, (-b, -bp), M=precond, maxiter=cfg.cg_iters
+        )
+        return x, xp
+
+    def full_chi2(poses, planes):
+        return graph_chi2(poses, graph) + plane_graph_chi2(poses, planes, plane_graph)
+
+    def body(state):
+        poses, planes, lam, chi2_prev, it, done, Hd_last = state
+        Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, chi2 = lin(poses, planes)
+        dx, dp = solve(Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, lam)
+        if cfg.fix_first:
+            dx = dx.at[0].set(0.0)
+        poses_new = jax.vmap(retract)(poses, dx)
+        planes_new = jax.vmap(retract_plane)(planes, dp)
+        chi2_new = full_chi2(poses_new, planes_new)
+        accept = chi2_new < chi2
+        poses_out = jnp.where(accept, poses_new, poses)
+        planes_out = jnp.where(accept, planes_new, planes)
+        lam_out = jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor)
+        rel = jnp.abs(chi2 - chi2_new) / jnp.maximum(chi2, 1e-30)
+        done_new = accept & (rel < cfg.rel_tol)
+        return (
+            poses_out, planes_out, lam_out, jnp.where(accept, chi2_new, chi2),
+            it + 1, done_new, Hdiag,
+        )
+
+    def cond(state):
+        _, _, _, _, it, done, _ = state
+        return (it < cfg.max_iterations) & (~done)
+
+    Hd0 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (K, 6, 6))
+    init = (
+        poses0, planes0, jnp.asarray(cfg.lm_lambda_init, dtype),
+        jnp.asarray(jnp.inf, dtype), 0, False, Hd0,
+    )
+    poses, planes, lam, chi2, iters, _, Hd = jax.lax.while_loop(cond, body, init)
+    return SparsePlaneSolveResult(
+        poses=poses, planes=planes, chi2=chi2, iterations=iters, lm_lambda=lam, H_diag=Hd
+    )

@@ -61,6 +61,7 @@ def simulate_trajectory(
     stops: int = 0,
     stop_duration: float = 1.5,
     max_tilt: float = 0.1,
+    laps: float = 1.0,
 ) -> Trajectory:
     """Smooth random ground-vehicle trajectory sampled at `rate` Hz.
 
@@ -90,7 +91,10 @@ def simulate_trajectory(
     v_body = _smooth_signal(rng, t, 3, vel_amp)
     yaw_rate = sig[:, 2]
     if circuit:
-        yaw_rate = 0.15 * yaw_rate + 2.0 * np.pi / duration
+        # `laps` > 1 revisits the same circuit repeatedly — the NTU
+        # loop2/loop3-style multi-revisit scenario where loop closure should
+        # fire once per pass segment, not once per sequence
+        yaw_rate = 0.15 * yaw_rate + laps * 2.0 * np.pi / duration
         tilt = tilt * 0.15
         v_body = v_body * 0.3
     v_body[:, 0] += forward_speed
@@ -162,13 +166,19 @@ def sample_imu(
 
 def make_world(seed: int = 2, n_landmarks: int = 4000, extent: float = 60.0) -> np.ndarray:
     """Static world: ground plane points + wall/box clusters (see
-    `core.pointcloud.random_cloud` for the single-scan variant)."""
+    `core.pointcloud.random_cloud` for the single-scan variant).
+
+    The cluster COUNT scales with the world area (30 per ±60 m tile) so the
+    density of vertical structure a scan sees is extent-invariant. With a
+    fixed count, a large world leaves most radar wedges seeing only the
+    ground plane — and plane-only scans constrain just 3 of GICP's 6 DoF,
+    letting the in-plane translation slide (the round-2 accuracy collapse)."""
     rng = np.random.default_rng(seed)
     n_ground = n_landmarks // 3
     gx = rng.uniform(-extent, extent, size=(n_ground, 2))
     ground = np.concatenate([gx, -1.8 + 0.05 * rng.normal(size=(n_ground, 1))], axis=1)
     n_rest = n_landmarks - n_ground
-    n_clusters = 30
+    n_clusters = max(8, round(30 * (extent / 60.0) ** 2))
     centers = rng.uniform(-extent, extent, size=(n_clusters, 3))
     centers[:, 2] = np.abs(centers[:, 2]) * 0.1
     assign = rng.integers(0, n_clusters, size=n_rest)

@@ -44,6 +44,11 @@ class OdometryConfig(NamedTuple):
     # loose IMU roll/pitch fusion at keyframe acceptance (`:135-138`, `:580`)
     enable_imu_fusion: bool = False
     imu_fusion_ratio: float = 0.1
+    # IMU-thresholding fallback (`:511-550`): a rejected transform is
+    # replaced by [IMU delta roll/pitch + last radar-delta yaw] rotation and
+    # the ego-velocity translation, instead of the rotation-stale prediction.
+    # Takes effect automatically when IMU orientation samples were pushed.
+    enable_imu_thresholding: bool = True
     # external fused-pose (MSF) hook in the motion guess (`:83-84`, `:450-462`:
     # guess = prev_trans_s2s * egovel_cum * msf_delta)
     enable_imu_frontend: bool = False
@@ -323,7 +328,7 @@ class ScanMatchingOdometry:
         _, pitch, roll = _r2ypr(R)
         if self._global_orient is None:
             self._global_orient = _rpy_to_mat(roll, pitch, 0.0)
-        self._imu_rp.append((t, roll, pitch))
+        self._imu_rp.append((t, roll, pitch, R))
         if len(self._imu_rp) > 200:  # imuQueLength
             del self._imu_rp[: len(self._imu_rp) - 200]
 
@@ -342,8 +347,8 @@ class ScanMatchingOdometry:
         elif i == 0:
             roll_i, pitch_i = self._imu_rp[0][1], self._imu_rp[0][2]
         else:
-            t0, r0, p0 = self._imu_rp[i - 1]
-            t1, r1, p1 = self._imu_rp[i]
+            t0, r0, p0 = self._imu_rp[i - 1][:3]
+            t1, r1, p1 = self._imu_rp[i][:3]
             a = (t_q - t0) / max(t1 - t0, 1e-9)
             roll_i = (1 - a) * r0 + a * r1
             pitch_i = (1 - a) * p0 + a * p1
@@ -357,6 +362,37 @@ class ScanMatchingOdometry:
         out = T.copy()
         out[:3, :3] = fused
         return out
+
+    def _imu_fallback_delta(self, stamp: float, egovel_trans: np.ndarray):
+        """IMU-rotation + egovel-translation replacement for a rejected
+        transform; parity `scan_matching_odometry_nodelet.cpp:511-550`:
+        rotation = Rz(last radar-delta yaw) Ry(IMU delta pitch) Rx(IMU delta
+        roll), translation = the cumulative ego-velocity step. Returns None
+        when no IMU orientation stream was pushed (the caller then falls back
+        to the rotation-stale motion prediction)."""
+        if not self.cfg.enable_imu_thresholding or len(self._imu_rp) < 2:
+            return None
+        ts = [s[0] for s in self._imu_rp]
+        i = int(np.searchsorted(ts, stamp))
+        if i >= len(ts):
+            i = len(ts) - 1
+        elif i > 0 and abs(ts[i - 1] - stamp) < abs(ts[i] - stamp):
+            i -= 1
+        R_now = self._imu_rp[i][3]
+        R_prev = getattr(self, "_last_frame_imu_R", None)
+        self._last_frame_imu_R = R_now
+        if R_prev is None:
+            return None
+        rot_imu = R_prev.T @ R_now
+        # Eigen eulerAngles(0,1,2): R = Rx(a) Ry(b) Rz(c)
+        roll_imu = np.arctan2(-rot_imu[1, 2], rot_imu[2, 2])
+        pitch_imu = np.arcsin(np.clip(rot_imu[0, 2], -1.0, 1.0))
+        rd = getattr(self, "_last_radar_delta", np.eye(4))
+        yaw_rd = np.arctan2(-rd[0, 1], rd[0, 0])
+        mat_est = np.eye(4)
+        mat_est[:3, :3] = _rpy_to_mat(roll_imu, pitch_imu, yaw_rd)
+        mat_est[:3, 3] = egovel_trans
+        return mat_est
 
     def _rebuild_submap(self):
         """Merge the last-N keyframe clouds into the current keyframe frame
@@ -478,8 +514,12 @@ class ScanMatchingOdometry:
             or ddx > self.cfg.max_diff_trans
             or dda > self.cfg.max_diff_angle
         ):
-            T = pred
+            # IMU-rotation + egovel-translation replacement (`:535-550`);
+            # falls back to the rotation-stale prediction without IMU
+            fb = self._imu_fallback_delta(stamp, step_T[:3, 3])
+            T = self.prev_trans_s2s @ fb if fb is not None else pred
             used_prediction = True
+        self._last_radar_delta = delta
 
         self.statuses.append(
             OdometryStatus(
@@ -570,8 +610,12 @@ class ScanMatchingOdometry:
             or ddx > self.cfg.max_diff_trans
             or dda > self.cfg.max_diff_angle
         ):
-            T = pred  # fall back to the motion prediction (`:535-561`)
+            # IMU-rotation + egovel-translation replacement (`:535-550`);
+            # rotation-stale prediction without an IMU orientation stream
+            fb = self._imu_fallback_delta(stamp, self.egovel_cum[:3, 3])
+            T = self.prev_trans_s2s @ fb if fb is not None else pred
             used_prediction = True
+        self._last_radar_delta = delta
 
         self.statuses.append(
             OdometryStatus(

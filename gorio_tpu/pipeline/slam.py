@@ -102,8 +102,9 @@ class SLAMConfig(NamedTuple):
     # bucketing discipline clouds and factor arrays already follow)
     pad_poses_pow2: bool = True
     # dense Cholesky above this stacked dimension is slow to COMPILE (and
-    # O(D^3) to run); larger solves switch to Jacobi-preconditioned CG
-    solve_dense_max_dim: int = 1536
+    # O(D^3) to run); larger solves switch to the block-sparse CG solver
+    # with the block-tridiagonal chain preconditioner (graph/sparse.py)
+    solve_dense_max_dim: int = 768
 
 
 class GPSMeasurement(NamedTuple):
@@ -203,11 +204,24 @@ class RadarGraphSLAM:
         return True
 
     def _preintegrate(self, t0: float, t1: float):
-        """GP preintegration over [t0, t1] (`preIntegrationTransform`)."""
+        """GP preintegration over [t0, t1] (`preIntegrationTransform`,
+        `radar_graph_slam_nodelet.cpp:363-533`).
+
+        Window semantics match the reference: the window start is clamped to
+        at most 2 s before the end (`:424-426`). (The reference consumes
+        measurement streams from 0.5 s before the window, `:469,484`; here
+        the lead-in is 0.2 s — the fixed G/V sample budgets must spend their
+        span covering [t0, t1], not history. Note the reference also slerps
+        IMU orientation at both window ends (`:431-461`) but the resulting
+        `q_imu_odom_increment` is DEAD CODE — the published transform uses
+        the GP preintegration's delta_R exclusively (`:515-529`) — so no
+        orientation slerp is replicated.)"""
         gyr_t = np.asarray(self.gyr_t)
         vel_t = np.asarray(self.vel_t)
         if gyr_t.size < 4 or vel_t.size < 4:
             return None
+        if t1 - t0 > 2.0:
+            t0 = t1 - 2.0  # `:424-426`
         pad = 0.2
         G = self.cfg.preint_window_samples
         V = self.cfg.preint_vel_samples
@@ -430,14 +444,28 @@ class RadarGraphSLAM:
 
         poses0, graph = g.freeze()
         solve_cfg = self.cfg.solve
-        if solve_cfg.solver == "dense" and len(g.poses) * 6 > self.cfg.solve_dense_max_dim:
-            solve_cfg = solve_cfg._replace(solver="cg")
+        # above the dense cutoff, switch to the block-sparse CG solver with
+        # the block-tridiagonal chain preconditioner (graph/sparse.py) — the
+        # structure-exploiting path g2o gets from CHOLMOD (`graph_slam.cpp:
+        # 353`): O(E) memory, ~(#loops+1) CG iterations, vs the dense
+        # (6K)^2 assembly + O(K^3) factorization
+        use_sparse = len(g.poses) * 6 > self.cfg.solve_dense_max_dim
         if floored:
             planes0, pg = g.freeze_planes()
-            res = optimize_graph_with_planes(poses0, planes0, graph, pg, solve_cfg)
+            if use_sparse:
+                from ..graph.sparse import optimize_graph_with_planes_sparse
+
+                res = optimize_graph_with_planes_sparse(poses0, planes0, graph, pg, solve_cfg)
+            else:
+                res = optimize_graph_with_planes(poses0, planes0, graph, pg, solve_cfg)
             self.floor_plane = np.asarray(res.planes[0])
         else:
-            res = optimize_graph(poses0, graph, solve_cfg)
+            if use_sparse:
+                from ..graph.sparse import optimize_graph_sparse
+
+                res = optimize_graph_sparse(poses0, graph, solve_cfg)
+            else:
+                res = optimize_graph(poses0, graph, solve_cfg)
         opt = np.asarray(res.poses)[: len(kfs)]  # drop pow2-padding dummies
         for k, kf in enumerate(kfs):
             kf.optimized_pose = opt[k]

@@ -1,0 +1,186 @@
+"""Wall-clock streaming replay with backpressure + deadline accounting.
+
+The reference proves real-time operation by replaying NTU4DRadLM bags at
+rate 1.0 through `bag_player.py`, whose publisher BLOCKS until the pipeline
+signals `/read_until` consumption (flow control:
+`/root/reference/4DRadarSLAM/src/radar_graph_slam/bag_player.py`,
+`scan_matching_odometry_nodelet.cpp:383-389`). This module is the
+TPU-native counterpart: a producer thread releases frames on the recording's
+own wall-clock schedule into a BOUNDED queue feeding the fused frontend +
+backend, in one of two modes:
+
+  block — the producer stalls when the queue is full (the `/read_until`
+          contract: nothing is lost, the clock slips — measures how far from
+          real-time the pipeline runs)
+  drop  — the producer drops the oldest queued frame (a live sensor's
+          behavior: the clock holds, frames are lost)
+
+Per-frame deadline accounting (latency vs the sensor period) lands in a JSON
+report: frames on time, p50/p95/max latency, dropped frames, end-to-end
+wall-clock vs recording span. The driver runs `optimize(window)` every
+`optimize_every` keyframes inside the loop, so backend cost is charged to
+the stream like the reference's optimization timer thread.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class StreamReport:
+    n_frames: int = 0
+    n_processed: int = 0
+    n_dropped: int = 0
+    n_keyframes: int = 0
+    n_loops: int = 0
+    on_time_frac: float = 0.0
+    latency_p50_ms: float = 0.0
+    latency_p95_ms: float = 0.0
+    latency_max_ms: float = 0.0
+    period_ms: float = 0.0
+    wall_s: float = 0.0
+    recording_s: float = 0.0
+    realtime_factor: float = 0.0  # recording span / wall clock (>=1 is RT)
+    mode: str = "block"
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+
+def stream_sequence(
+    frames,
+    slam,
+    odo,
+    imu: Optional[dict] = None,
+    rate_multiplier: float = 1.0,
+    mode: str = "block",
+    queue_depth: int = 4,
+    capacity: int = 2048,
+    optimize_every: int = 0,
+    optimize_window: int = 0,
+    ground: bool = False,
+) -> StreamReport:
+    """Replay `frames` (.grf paths) against wall clock. Returns the report.
+
+    `slam`/`odo` are RadarGraphSLAM / ScanMatchingOdometry instances already
+    loaded with measurement streams (gyro/twist/GPS pushed up front, like the
+    CLI driver); `imu` optionally maps 'gyr_t'/'gyr' arrays for fused deskew.
+    """
+    from ..io.native import NativePipelineDataset
+
+    ds = NativePipelineDataset(frames, capacity=capacity, queue_depth=queue_depth)
+    q: queue.Queue = queue.Queue(maxsize=max(queue_depth, 1))
+    stop = threading.Event()
+    n_dropped = 0
+    n_frames = 0
+    first_stamp = None
+    last_stamp = None
+
+    gyr_t = np.asarray(imu["gyr_t"]) if imu is not None else None
+    gyr = np.asarray(imu["gyr"]) if imu is not None else None
+
+    def omega_at(t):
+        if gyr_t is None or gyr_t.size == 0:
+            return None
+        i = np.clip(np.searchsorted(gyr_t, t) - 1, 0, gyr_t.size - 1)
+        return gyr[i]
+
+    def producer():
+        nonlocal n_dropped, n_frames, first_stamp, last_stamp
+        t_wall0 = time.monotonic()
+        t_rec0 = None
+        for stamp, n_pts, packed in ds:
+            if stop.is_set():
+                break
+            n_frames += 1
+            if t_rec0 is None:
+                t_rec0 = stamp
+                first_stamp = stamp
+            last_stamp = stamp
+            # release on the recording clock
+            release = t_wall0 + (stamp - t_rec0) / rate_multiplier
+            delay = release - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            item = (stamp, n_pts, packed.copy(), time.monotonic())
+            if mode == "drop":
+                while True:
+                    try:
+                        q.put_nowait(item)
+                        break
+                    except queue.Full:
+                        try:
+                            q.get_nowait()
+                            n_dropped += 1
+                        except queue.Empty:
+                            pass
+            else:  # block: the /read_until contract
+                q.put(item)
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    t_start = time.monotonic()
+    th.start()
+
+    latencies = []
+    deadlines_met = 0
+    n_processed = 0
+    prev_stamp = None
+    period_est = []
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            stamp, n_pts, packed, t_release = item
+            pose, v = odo.step_fused(
+                float(stamp), packed, n_pts, ground=ground,
+                omega=omega_at(float(stamp)),
+            )
+            slam.push_twist(float(stamp), v)
+            floor = None
+            if ground and getattr(odo, "last_ground_count", 0) >= slam.cfg.floor_min_ground_points \
+                    and abs(odo.last_plane[2]) > slam.cfg.floor_max_tilt_nz:
+                floor = odo.last_plane
+            slam.add_frame(float(stamp), odo.last_cloud, pose, floor_coeffs=floor)
+            if optimize_every and len(slam.keyframes) % optimize_every == 0:
+                slam.optimize(window=optimize_window or None)
+            lat = time.monotonic() - t_release
+            latencies.append(lat)
+            if prev_stamp is not None:
+                period_est.append(stamp - prev_stamp)
+            prev_stamp = stamp
+            n_processed += 1
+    finally:
+        stop.set()
+        th.join(timeout=5)
+
+    wall = time.monotonic() - t_start
+    period = float(np.median(period_est)) / rate_multiplier if period_est else 0.1
+    lat = np.asarray(latencies) if latencies else np.zeros(1)
+    on_time = float(np.mean(lat <= period)) if latencies else 0.0
+    rec_span = (last_stamp - first_stamp) if (first_stamp is not None and last_stamp) else 0.0
+    return StreamReport(
+        n_frames=n_frames,
+        n_processed=n_processed,
+        n_dropped=n_dropped,
+        n_keyframes=len(slam.keyframes),
+        n_loops=len(slam.loops),
+        on_time_frac=round(on_time, 4),
+        latency_p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 2),
+        latency_p95_ms=round(float(np.percentile(lat, 95)) * 1e3, 2),
+        latency_max_ms=round(float(lat.max()) * 1e3, 2),
+        period_ms=round(period * 1e3, 2),
+        wall_s=round(wall, 3),
+        recording_s=round(rec_span, 3),
+        realtime_factor=round(rec_span / rate_multiplier / max(wall, 1e-9), 3),
+        mode=mode,
+    )

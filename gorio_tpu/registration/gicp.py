@@ -26,7 +26,12 @@ from .lsq import LMConfig, LMResult, lm_optimize
 
 class GICPConfig(NamedTuple):
     k_correspondences: int = 20  # `fast_apdgicp_impl.hpp:21`
-    max_correspondence_distance: float = jnp.inf
+    # `reg_max_correspondence_distance` (registrations.cpp:44, default 2.5):
+    # the nodelets ALWAYS gate correspondences — with no gate, source points
+    # in non-overlapping regions (structure entering/leaving the radar wedge)
+    # acquire arbitrary far NNs whose Mahalanobis residuals drag the solve
+    # into divergence (observed: 8-44 m errors from a truth initial guess)
+    max_correspondence_distance: float = 2.5
     # APD polar covariance parameters (`fast_apdgicp.hpp:116-118` defaults,
     # launch files set dist_var=0.86, az=0.5 deg, el=1.0 deg)
     dist_var: float = 0.86

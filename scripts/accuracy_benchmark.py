@@ -43,6 +43,14 @@ jax.config.update(
     str(Path(__file__).resolve().parent.parent / ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the pin is silently ineffective if a backend was already initialized (the
+# axon sitecustomize imports AND uses jax) — stored numbers must share the
+# regression tests' numerics, so abort loudly rather than record apples/oranges
+assert jax.default_backend() == "cpu", (
+    f"benchmark must run on CPU x64 (got {jax.default_backend()}); "
+    "a jax backend was initialized before the pin took effect"
+)
+assert jax.config.jax_enable_x64, "x64 pin did not take effect"
 
 REPO = Path(__file__).resolve().parent.parent
 ACCURACY_JSON = REPO / "ACCURACY.json"
@@ -51,14 +59,16 @@ SEQUENCES = {
     "straight": {
         "simulate": [
             "--duration", "40", "--rate", "5", "--seed", "21",
-            "--stops", "2", "--dynamic", "4", "--gps", "--landmarks", "30000",
+            "--stops", "2", "--dynamic", "4", "--gps",
         ],
         "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm", "--no-loops"],
     },
     "circuit": {
+        # 2 laps: the whole second lap revisits the first — loop closure must
+        # fire repeatedly (the NTU loop2/loop3 pattern), not once
         "simulate": [
             "--duration", "60", "--rate", "5", "--seed", "22", "--circuit",
-            "--dynamic", "2", "--landmarks", "30000",
+            "--laps", "2", "--dynamic", "2",
         ],
         "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm"],
     },

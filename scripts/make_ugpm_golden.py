@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# the axon sitecustomize may have initialized a TPU backend already; pin
+# through the config (the env var alone is baked too late) and verify
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np
 import jax.numpy as jnp

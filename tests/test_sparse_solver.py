@@ -1,0 +1,130 @@
+"""Block-sparse CG solver vs the dense solver: same optimum, and it scales.
+
+The dense path (`solver.optimize_graph`) materializes (K,K,6,6) normal
+equations — O(K^2) memory, O(K^3) solve; `sparse.optimize_graph_sparse`
+solves the identical LM problem via block-CSR matvecs + a block-tridiagonal
+chain preconditioner (parity bar: g2o `lm_var_cholmod`, `graph_slam.cpp:353`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gorio_tpu.graph.graph import PoseGraph
+from gorio_tpu.graph.solver import SolveConfig, optimize_graph, optimize_graph_with_planes
+from gorio_tpu.graph.sparse import (
+    optimize_graph_sparse,
+    optimize_graph_with_planes_sparse,
+)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def make_chain_graph(K=40, n_loops=3, gps_every=7, seed=0, noise=0.03):
+    """Noisy circular chain + loop closures + GPS point priors."""
+    rng = np.random.default_rng(seed)
+    gt = []
+    for k in range(K):
+        a = 2 * np.pi * k / K
+        T = np.eye(4)
+        T[:3, :3] = _rot_z(a)
+        T[:3, 3] = [10 * np.cos(a), 10 * np.sin(a), 0.1 * np.sin(3 * a)]
+        gt.append(T)
+    g = PoseGraph()
+    cur = gt[0]
+    g.add_pose(cur)
+    info = np.eye(6) * 50.0
+    for k in range(1, K):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        rel_noisy = rel.copy()
+        rel_noisy[:3, 3] += rng.normal(scale=noise, size=3)
+        cur = cur @ rel_noisy
+        g.add_pose(cur)
+        g.add_between(k - 1, k, rel_noisy, info=info)
+    g.add_prior(0, gt[0], info=np.eye(6) * 1e6)
+    for l in range(n_loops):
+        i = int(rng.integers(0, K // 3))
+        j = int(rng.integers(2 * K // 3, K))
+        rel = np.linalg.inv(gt[i]) @ gt[j]
+        g.add_between(i, j, rel, info=np.eye(6) * 30.0, robust_delta=1.0)
+    for k in range(0, K, gps_every):
+        g.add_point_prior(k, gt[k][:3, 3] + rng.normal(scale=0.1, size=3),
+                          info=np.eye(3) * 4.0)
+    return g, np.stack(gt)
+
+
+def test_sparse_matches_dense():
+    g, gt = make_chain_graph(K=40)
+    poses0, graph = g.freeze()
+    cfg = SolveConfig(max_iterations=40)
+    dense = optimize_graph(poses0, graph, cfg)
+    sparse = optimize_graph_sparse(poses0, graph, cfg)
+    # same optimum (both converge; compare chi2 and poses)
+    assert float(sparse.chi2) <= float(dense.chi2) * 1.02 + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(sparse.poses)[:, :3, 3],
+        np.asarray(dense.poses)[:, :3, 3],
+        atol=2e-3,
+    )
+
+
+def test_sparse_recovers_truth():
+    g, gt = make_chain_graph(K=60, n_loops=5, seed=3)
+    poses0, graph = g.freeze()
+    res = optimize_graph_sparse(poses0, graph, SolveConfig(max_iterations=40))
+    err = np.linalg.norm(np.asarray(res.poses)[:, :3, 3] - gt[:, :3, 3], axis=1)
+    # GPS every 7 poses + loops: should land close to truth everywhere
+    assert float(err.max()) < 0.5
+
+
+def test_sparse_planes_matches_dense():
+    g, gt = make_chain_graph(K=24, n_loops=2, seed=5)
+    j = g.add_plane(np.array([0.0, 0.0, 1.0, 1.8]))
+    info3 = np.diag([100.0, 100.0, 100.0])
+    for k in range(0, 24, 3):
+        n_b = gt[k][:3, :3].T @ np.array([0.0, 0.0, 1.0])
+        d_b = 1.8 + np.array([0.0, 0.0, 1.0]) @ gt[k][:3, 3]
+        g.add_se3_plane(k, j, np.concatenate([n_b, [d_b]]), info3)
+    poses0, graph = g.freeze()
+    planes0, pg = g.freeze_planes()
+    cfg = SolveConfig(max_iterations=40)
+    dense = optimize_graph_with_planes(poses0, planes0, graph, pg, cfg)
+    sparse = optimize_graph_with_planes_sparse(poses0, planes0, graph, pg, cfg)
+    assert float(sparse.chi2) <= float(dense.chi2) * 1.02 + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(sparse.poses)[:, :3, 3], np.asarray(dense.poses)[:, :3, 3], atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse.planes), np.asarray(dense.planes), atol=1e-4
+    )
+
+
+def test_sparse_fix_first():
+    g, _ = make_chain_graph(K=16, n_loops=1, seed=7)
+    poses0, graph = g.freeze()
+    cfg = SolveConfig(max_iterations=30, fix_first=True)
+    res = optimize_graph_sparse(poses0, graph, cfg)
+    np.testing.assert_allclose(np.asarray(res.poses)[0], np.asarray(poses0)[0], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_sparse_scales_to_1000_keyframes():
+    """The VERDICT r2 scaling bar: ≤1 s full-graph solve at 300 keyframes on
+    CPU (dense took 52 s at 297), benchmarked to 1000."""
+    import time
+
+    for K, budget_s in ((300, 1.0), (1000, 5.0)):
+        g, _ = make_chain_graph(K=K, n_loops=8, seed=11)
+        poses0, graph = g.freeze()
+        cfg = SolveConfig(max_iterations=30)
+        res = optimize_graph_sparse(poses0, graph, cfg)  # compile + run
+        res.poses.block_until_ready()
+        t0 = time.perf_counter()
+        res = optimize_graph_sparse(poses0, graph, cfg)
+        res.poses.block_until_ready()
+        dt = time.perf_counter() - t0
+        assert np.isfinite(float(res.chi2))
+        assert dt < budget_s, f"K={K}: {dt:.2f}s > {budget_s}s"
