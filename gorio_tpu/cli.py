@@ -612,6 +612,23 @@ def cmd_align(args):
         print(np.array_str(np.asarray(rows[-1][3]), precision=5, suppress_small=True))
 
 
+def cmd_visualize(args):
+    """Render a run's artifacts (markers JSON, trajectories, map npz) to a
+    top-down PNG — the offline counterpart of the rviz MarkerArray/map topics
+    (`radar_graph_slam_nodelet.cpp:885-1121`)."""
+    from .utils.viz import render_run
+
+    out = render_run(
+        args.output,
+        markers_json=args.markers,
+        trajectory_tum=args.trajectory,
+        groundtruth_tum=args.groundtruth,
+        map_npz=args.map,
+        title=args.title,
+    )
+    print(f"wrote {out}")
+
+
 def cmd_dump_config(args):
     from .config import GorioConfig, save_config
 
@@ -818,6 +835,15 @@ def main(argv=None):
     s.add_argument("--default-var", type=float, default=1.0)
     s.add_argument("--iters", type=int, default=64)
     s.set_defaults(fn=cmd_utm_align)
+
+    s = sub.add_parser("visualize")
+    s.add_argument("--output", default="run.png")
+    s.add_argument("--markers", default=None, help="export_markers JSON")
+    s.add_argument("--trajectory", default=None, help="estimated TUM trajectory")
+    s.add_argument("--groundtruth", default=None, help="ground-truth TUM trajectory")
+    s.add_argument("--map", default=None, help="map npz (from slam --map)")
+    s.add_argument("--title", default=None)
+    s.set_defaults(fn=cmd_visualize)
 
     s = sub.add_parser("dump-config")
     s.add_argument("--output", default="gorio_config.json")

@@ -34,9 +34,9 @@ class LoopConfig(NamedTuple):
     `RadarGraphSLAM.export_markers` as `loop_search_radius`.
     """
 
-    distance_thresh: float = 15.0
-    accum_distance_thresh: float = 25.0
-    min_loop_interval_dist: float = 15.0
+    distance_thresh: float = 10.0  # `ntu_loop2.launch:133`
+    accum_distance_thresh: float = 50.0  # `ntu_loop2.launch:134`
+    min_loop_interval_dist: float = 10.0  # `ntu_loop2.launch:135`
     max_yaw_difference_deg: float = 95.0
     max_baro_difference: float = 2.0
     odom_drift_xy: float = 0.05
@@ -44,6 +44,14 @@ class LoopConfig(NamedTuple):
     drift_scale_xy: float = 2.0
     drift_scale_z: float = 2.0
     fitness_thresh: float = 2.5
+    # coarse-to-fine loop verification: first align with this correspondence
+    # gate (the seed pose carries up to the drift-ellipse radius of error —
+    # with only the 2.5 m odometry gate the true basin is out of reach and
+    # verification "converges" onto the drifted seed), then refine with the
+    # odometry-grade gate. The reference has no coarse stage (and aligns
+    # from identity, `loop_detector.cpp:225-228`) — a known weakness this
+    # deliberately improves on.
+    coarse_corr_dist: float = 10.0
     enable_odom_check: bool = True
     odom_check_trans_thresh: float = 0.3
     odom_check_rot_thresh: float = 0.05
@@ -74,21 +82,44 @@ def _sc_match_batch(db: "ScanContextDB", idxs, cfg: ScanContextConfig):
     return jax.vmap(one)(idxs)
 
 
-@partial(jax.jit, static_argnames=("gicp_cfg", "info_cfg"))
-def _verify_batch(src, tgt, init_T, gicp_cfg: GICPConfig, info_cfg: InformationConfig):
-    """vmapped loop verification: registration + information-from-fitness.
+@partial(jax.jit, static_argnames=("gicp_cfg", "coarse_cfg", "info_cfg"))
+def _verify_batch(
+    src, tgt, init_T, gicp_cfg: GICPConfig, coarse_cfg: GICPConfig,
+    info_cfg: InformationConfig,
+):
+    """vmapped loop verification: coarse-to-fine registration +
+    information-from-fitness.
 
-    `init_T` seeds each align with the current estimated relative pose (+SC
-    yaw) — a deliberate improvement over the reference, which aligns loop
-    clouds from identity (`loop_detector.cpp:225-227`, with a literal
-    `// TODO icp align with initial` at `:228`): under the drift a loop is
-    meant to correct, identity is outside the correspondence-gate basin and
-    true revisits fail verification."""
+    `init_T` seeds each align with the current estimated relative pose — a
+    deliberate improvement over the reference, which aligns loop clouds from
+    identity (`loop_detector.cpp:225-227`, with a literal `// TODO icp align
+    with initial` at `:228`): under the drift a loop is meant to correct,
+    identity is outside the correspondence-gate basin and true revisits fail
+    verification. The coarse stage (wide correspondence gate) recovers the
+    remaining seed error before the odometry-grade refinement."""
 
     def verify(s, t, T0):
-        res = gicp_align(s, t, init_T=T0, cfg=gicp_cfg)
-        info, fitness = calc_information_matrix(s, t, res.T, info_cfg)
-        return res.T, res.converged, info, fitness
+        def one(Ti):
+            res_c = gicp_align(s, t, init_T=Ti, cfg=coarse_cfg)
+            res = gicp_align(s, t, init_T=res_c.T, cfg=gicp_cfg)
+            info, fitness = calc_information_matrix(s, t, res.T, info_cfg)
+            return res.T, res.converged, info, fitness
+
+        # two hypotheses: the current estimate (exact after loops have been
+        # absorbed) and CO-LOCATION (what an SC match asserts; exact before
+        # any loop has corrected the drift). Keep the better-fitting result —
+        # a drift-contaminated estimate seed otherwise "verifies" onto a
+        # displaced basin with plausible fitness, and that one bad loop then
+        # poisons every later pairwise-consistency comparison.
+        Ta, ca, ia, fa = one(T0)
+        Tb, cb, ib, fb = one(jnp.eye(4, dtype=T0.dtype))
+        a = fa <= fb
+        return (
+            jnp.where(a, Ta, Tb),
+            jnp.where(a, ca, cb),
+            jnp.where(a, ia, ib),
+            jnp.where(a, fa, fb),
+        )
 
     return jax.vmap(verify)(src, tgt, init_T)
 
@@ -231,14 +262,30 @@ class LoopDetector:
             self._count(reason)
             return None
 
-        # registration verification (`:222-244`): align new (source) to old,
-        # seeded at the estimated relative pose (see _verify_batch)
+        # registration verification (`:222-244`): coarse-to-fine align of new
+        # (source) to old from both the estimate and co-location seeds (see
+        # _verify_batch)
         init = jnp.asarray(np.linalg.inv(poses[match]) @ poses[new_index])
-        res = gicp_align(new_cloud, keyframe_clouds[match], init_T=init, cfg=self.gicp_cfg)
-        info, fitness = calc_information_matrix(
-            new_cloud, keyframe_clouds[match], res.T, self.info_cfg
+        coarse_cfg = self.gicp_cfg._replace(
+            max_correspondence_distance=self.cfg.coarse_corr_dist
         )
-        if not bool(res.converged) or float(fitness) > cfg.fitness_thresh:
+
+        def _one(Ti):
+            rc = gicp_align(new_cloud, keyframe_clouds[match], init_T=Ti, cfg=coarse_cfg)
+            rr = gicp_align(new_cloud, keyframe_clouds[match], init_T=rc.T, cfg=self.gicp_cfg)
+            info, fit = calc_information_matrix(
+                new_cloud, keyframe_clouds[match], rr.T, self.info_cfg
+            )
+            return rr, info, fit
+
+        res, info, fitness = _one(init)
+        res_b, info_b, fit_b = _one(jnp.eye(4, dtype=init.dtype))
+        if float(fit_b) < float(fitness):
+            res, info, fitness = res_b, info_b, fit_b
+        # fitness is the real verification gate (PCL's hasConverged() is
+        # effectively always true — see detect_batch)
+        if not np.isfinite(float(fitness)) or float(fitness) > cfg.fitness_thresh:
+            self._count("fitness")
             return None
         T_rel = np.asarray(res.T)  # maps new-frame points into old frame
 
@@ -254,11 +301,14 @@ class LoopDetector:
             ):
                 return None
         if self.loops:
+            # cycle i -> j (this loop) -> l (odom) -> k (prev loop) -> i
+            # (odom): l/k are the previous loop's OLD/NEW keyframes
+            # (`loop_detector.cpp:281-283`; queue = (new, old), `:324`)
             prev = self.loops[-1]
             odom_li = np.linalg.inv(np.asarray(keyframe_odoms[match])) @ np.asarray(
-                keyframe_odoms[prev.key_new]
+                keyframe_odoms[prev.key_old]
             )
-            odom_jk = np.linalg.inv(np.asarray(keyframe_odoms[prev.key_old])) @ np.asarray(
+            odom_jk = np.linalg.inv(np.asarray(keyframe_odoms[prev.key_new])) @ np.asarray(
                 keyframe_odoms[new_index]
             )
             if not pairwise_consistency_check(
@@ -373,7 +423,12 @@ class LoopDetector:
             init = jnp.asarray(
                 np.stack([np.linalg.inv(poses[m]) @ poses[i] for i, m in gp_p])
             )
-            T_g, c_g, i_g, f_g = _verify_batch(src, tgt, init, self.gicp_cfg, self.info_cfg)
+            coarse_cfg = self.gicp_cfg._replace(
+                max_correspondence_distance=self.cfg.coarse_corr_dist
+            )
+            T_g, c_g, i_g, f_g = _verify_batch(
+                src, tgt, init, self.gicp_cfg, coarse_cfg, self.info_cfg
+            )
             Ts[members] = np.asarray(T_g)[: len(gp)]
             conv[members] = np.asarray(c_g)[: len(gp)]
             infos[members] = np.asarray(i_g)[: len(gp)]
@@ -382,10 +437,15 @@ class LoopDetector:
         # ---- stage 4: sequential accept chain (host) -----------------------
         accepted = []
         for n, (i, m) in enumerate(pairs):
+            # NOTE the reference's hasConverged() gate (`loop_detector.cpp:
+            # 230`) is PCL's, which is true for any completed run — the real
+            # verification is the fitness gate + odometry/pairwise checks.
+            # Our LM's stricter relative-tolerance flag would over-reject
+            # viewpoint-distant loop pairs, so it is counted but not gating;
+            # non-finite fitness (a genuinely failed align) still rejects.
             if not bool(conv[n]):
                 self._count("not_converged")
-                continue
-            if float(fits[n]) > cfg.fitness_thresh:
+            if not np.isfinite(fits[n]) or float(fits[n]) > cfg.fitness_thresh:
                 self._count("fitness")
                 continue
             new_accum = accum[i]
@@ -409,9 +469,10 @@ class LoopDetector:
                 self._count("odom_check")
                 continue
             if self.loops:
+                # see detect(): l/k are the previous loop's OLD/NEW keyframes
                 prev = self.loops[-1]
-                odom_li = np.linalg.inv(odoms[m]) @ odoms[prev.key_new]
-                odom_jk = np.linalg.inv(odoms[prev.key_old]) @ odoms[i]
+                odom_li = np.linalg.inv(odoms[m]) @ odoms[prev.key_old]
+                odom_jk = np.linalg.inv(odoms[prev.key_new]) @ odoms[i]
                 if not pairwise_consistency_check(
                     np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg
                 ):

@@ -61,7 +61,11 @@ SEQUENCES = {
             "--duration", "40", "--rate", "5", "--seed", "21",
             "--stops", "2", "--dynamic", "4", "--gps",
         ],
-        "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm", "--no-loops"],
+        # --optimize-every: the reference optimizes on a 2-3 s timer
+        # (`radar_graph_slam_nodelet.cpp:750`), not once at the end — loop
+        # gates and GPS drift gates see continuously improving estimates
+        "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm",
+                 "--no-loops", "--optimize-every", "15"],
     },
     "circuit": {
         # 2 laps: the whole second lap revisits the first — loop closure must
@@ -70,7 +74,8 @@ SEQUENCES = {
             "--duration", "60", "--rate", "5", "--seed", "22", "--circuit",
             "--laps", "2", "--dynamic", "2",
         ],
-        "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm"],
+        "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm",
+                 "--optimize-every", "15"],
     },
 }
 

@@ -1,0 +1,106 @@
+"""Stored real-time streaming benchmark -> STREAM.json (VERDICT r2 item 5).
+
+Replays the `straight` accuracy sequence against the wall clock through the
+streaming driver (`pipeline/streaming.py`) in both backpressure modes and
+stores frames-on-time %, latency percentiles, and the realtime factor. This
+is the counterpart of the reference's rate-1.0 rosbag replay proof
+(`launch/rosbag_play_ntu.launch` + `/read_until` flow control).
+
+Platform note: numbers stored by the repo are CPU (the CI box); on TPU
+hardware run the same CLI (`python -m gorio_tpu.cli stream ...`) — the
+co-located TPU frontend is the deployment target, the CPU numbers are the
+regression floor.
+
+    PYTHONPATH= JAX_PLATFORMS=cpu python scripts/stream_benchmark.py --update
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+REPO = Path(__file__).resolve().parent.parent
+STREAM_JSON = REPO / "STREAM.json"
+
+
+def run(rate: float, mode: str, workdir=None) -> dict:
+    import numpy as np
+
+    from gorio_tpu.cli import main
+    from gorio_tpu.pipeline.odometry import OdometryConfig, ScanMatchingOdometry
+    from gorio_tpu.pipeline.preprocessing import PreprocessConfig
+    from gorio_tpu.pipeline.slam import RadarGraphSLAM, SLAMConfig
+    from gorio_tpu.pipeline.streaming import stream_sequence
+
+    base = Path(workdir or tempfile.mkdtemp(prefix="gorio_stream_"))
+    ds = base / "seq"
+    if not (ds / "imu.npz").exists():
+        main([
+            "simulate", "--output", str(ds), "--duration", "20", "--rate", "5",
+            "--seed", "31", "--dynamic", "2",
+        ])
+    imu = np.load(ds / "imu.npz")
+    slam = RadarGraphSLAM(SLAMConfig(
+        enable_loop_closure=False,
+        gyr_var=float(imu["gyr_var"]), vel_var=float(imu["vel_var"]),
+    ))
+    for t, g in zip(imu["gyr_t"], imu["gyr"]):
+        slam.push_imu(t, g)
+    for t, v in zip(imu["vel_t"], imu["vel"]):
+        slam.push_twist(t, v)
+    odo = ScanMatchingOdometry(OdometryConfig())
+    odo.preprocess_cfg = PreprocessConfig()
+    frames = sorted(ds.glob("*.grf"))
+    # warm the jitted programs outside the timed stream
+    from gorio_tpu.io.native import NativeDataset
+
+    w = ScanMatchingOdometry(OdometryConfig())
+    w.preprocess_cfg = odo.preprocess_cfg
+    for stamp, xyz, inten, dop in NativeDataset([str(f) for f in frames[:2]], capacity=2048):
+        packed = np.zeros((2048, 5), np.float32)
+        packed[: len(xyz), :3] = xyz
+        packed[: len(xyz), 3] = inten
+        packed[: len(xyz), 4] = dop
+        w.step_fused(float(stamp), packed, len(xyz), omega=np.zeros(3))
+    report = stream_sequence(
+        frames, slam, odo, imu={"gyr_t": imu["gyr_t"], "gyr": imu["gyr"]},
+        rate_multiplier=rate, mode=mode, capacity=2048,
+    )
+    return json.loads(report.to_json())
+
+
+def main_cli():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true")
+    ap.add_argument("--rate", type=float, default=1.0)
+    args = ap.parse_args()
+    with tempfile.TemporaryDirectory(prefix="gorio_stream_") as wd:
+        results = {
+            "block_rate1": run(args.rate, "block", wd),
+            "drop_rate1": run(args.rate, "drop", wd),
+        }
+    print(json.dumps(results, indent=2))
+    if args.update:
+        STREAM_JSON.write_text(json.dumps(results, indent=2) + "\n")
+        print(f"wrote {STREAM_JSON}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main_cli()

@@ -222,3 +222,45 @@ def test_msf_delta_feeds_guess_and_status_label():
     odo.push_msf_pose(0.06, T, after_update=False)
     odo.step(0.1, make_cloud(pts + [0.05, 0.0, 0.0]), np.zeros(3))
     assert odo.statuses[-1].prediction_label == "imu"
+
+
+# ---- pairwise consistency cycle convention (`loop_detector.cpp:270-297`) ----
+
+
+def test_pairwise_consistency_accepts_consistent_loops():
+    """Drift-free odometry + exact loop transforms must close the cycle
+    i -> j (current loop) -> l (odom) -> k (previous loop) -> i (odom):
+    the r2 implementation swapped the previous loop's endpoints and rejected
+    every consistent second loop (45 rejections on the 2-lap circuit)."""
+    from gorio_tpu.loopclosure.loop_detector import pairwise_consistency_check
+
+    rng = np.random.default_rng(4)
+    # ground-truth poses for keyframes l, k, j, i (prev old/new, cur old/new)
+    def pose(t, yaw):
+        T = np.eye(4)
+        c, s = np.cos(yaw), np.sin(yaw)
+        T[:2, :2] = [[c, -s], [s, c]]
+        T[:3, 3] = t
+        return T
+
+    X = {
+        "l": pose([0.0, 0.0, 0.0], 0.1),
+        "k": pose([0.4, 0.2, 0.0], 0.15),
+        "j": pose([5.0, 1.0, 0.0], 0.9),
+        "i": pose([5.3, 1.2, 0.0], 1.0),
+    }
+    inv = np.linalg.inv
+    # loop transforms in the detector's convention: T_rel = old_T_new
+    T_rel_prev = inv(X["l"]) @ X["k"]
+    T_rel_cur = inv(X["j"]) @ X["i"]
+    # odometry = truth (drift-free)
+    odom_li = inv(X["j"]) @ X["l"]
+    odom_jk = inv(X["k"]) @ X["i"]
+    cfg = LoopConfig()
+    assert pairwise_consistency_check(
+        inv(T_rel_cur), odom_li, T_rel_prev, odom_jk, cfg
+    )
+    # a corrupted current loop breaks the cycle
+    bad = T_rel_cur.copy()
+    bad[:3, 3] += [5.0, 0, 0]
+    assert not pairwise_consistency_check(inv(bad), odom_li, T_rel_prev, odom_jk, cfg)
