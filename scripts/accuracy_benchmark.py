@@ -68,10 +68,12 @@ SEQUENCES = {
                  "--no-loops", "--optimize-every", "15"],
     },
     "circuit": {
-        # 2 laps: the whole second lap revisits the first — loop closure must
-        # fire repeatedly (the NTU loop2/loop3 pattern), not once
+        # 2 laps in 75 s: the whole ~75 m second lap revisits the first —
+        # loop closure must fire repeatedly (the NTU loop2/loop3 pattern; at
+        # the launch-parity 10 m loop interval this admits ~6-7 loops), and
+        # the ~75 m lap stays above the 50 m accum_distance gate
         "simulate": [
-            "--duration", "60", "--rate", "5", "--seed", "22", "--circuit",
+            "--duration", "75", "--rate", "5", "--seed", "22", "--circuit",
             "--laps", "2", "--dynamic", "2",
         ],
         "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm",
