@@ -214,6 +214,8 @@ class LoopDetector:
     def add_keyframe(self, cloud: PointCloud):
         """Parity: `makeAndSaveScancontextAndKeys` feeding from the backend."""
         desc = make_scancontext(cloud, self.sc_cfg).astype(self.db.descs.dtype)
+        if int(self.db.count) >= self.db.descs.shape[0]:
+            self.db = self.db.grow()  # see ScanContextDB.grow
         self.db = self.db.add(desc)
 
     def detect(

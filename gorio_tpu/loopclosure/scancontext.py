@@ -125,6 +125,22 @@ class ScanContextDB(NamedTuple):
             count=i + 1,
         )
 
+    def grow(self, factor: int = 2):
+        """Double the capacity (host-side; triggers one recompile per pow2
+        bucket). Without this, `.at[i].set` past capacity silently DROPS the
+        descriptor (XLA out-of-bounds scatter semantics) while `count` keeps
+        growing — long trajectories would silently lose loop closure."""
+        reps = factor - 1
+        return ScanContextDB(
+            descs=jnp.concatenate(
+                [self.descs] + [jnp.zeros_like(self.descs)] * reps, axis=0
+            ),
+            ring_keys=jnp.concatenate(
+                [self.ring_keys] + [jnp.zeros_like(self.ring_keys)] * reps, axis=0
+            ),
+            count=self.count,
+        )
+
 
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_loop(db: ScanContextDB, query_desc, cfg: ScanContextConfig = ScanContextConfig()):

@@ -158,3 +158,24 @@ def test_detect_batch_heterogeneous_capacities():
     assert len(loops) == 1 and loops[0].key_old == 0
     # translation between the two revisit scans is near zero
     assert np.linalg.norm(loops[0].T_rel[:3, 3]) < 0.3
+
+
+def test_db_grows_past_capacity():
+    """Adding beyond the DB capacity must keep descriptors retrievable: the
+    fixed-capacity `.at[i].set` silently DROPS out-of-bounds writes (XLA
+    scatter semantics) while count grows — long trajectories would lose loop
+    closure without `grow()` (exercised via LoopDetector.add_keyframe)."""
+    from gorio_tpu.loopclosure.loop_detector import LoopDetector
+
+    det = LoopDetector(capacity=4)
+    clouds = [_scan(60 + k, [2.0 * k, 0.0, 0.0], capacity=256) for k in range(10)]
+    for c in clouds:
+        det.add_keyframe(c)
+    assert int(det.db.count) == 10
+    assert det.db.descs.shape[0] >= 10
+    # descriptor 9 was actually stored (not dropped): it matches a re-render
+    # of the same place
+    q = make_scancontext(_scan(99, [18.0, 0.05, 0.0], capacity=256), det.sc_cfg)
+    cfg2 = det.sc_cfg._replace(num_exclude_recent=0, dist_threshold=0.8)
+    match, yaw, dist = detect_loop(det.db, q.astype(det.db.descs.dtype), cfg2)
+    assert int(match) >= 7, (int(match), float(dist))
