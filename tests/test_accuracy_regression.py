@@ -81,3 +81,6 @@ def test_accuracy_json_wellformed():
         assert 0.0 < rec["ate_rmse_m"] <= ATE_CEILING_M[seq]
         assert 0.0 < rec["rte_m"] <= RTE_CEILING_M[seq]
         assert rec["n_keyframes"] > 10
+    # loop recall floor: the GPS-free multi-revisit circuit must close via
+    # repeated verified loops (round-2 starved at 1 with no diagnosis)
+    assert stored["circuit"]["n_loops"] >= 2, stored["circuit"]["n_loops"]
