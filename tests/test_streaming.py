@@ -77,3 +77,26 @@ def test_stream_report_json_roundtrip(tiny_sequence):
     d = json.loads(report.to_json())
     for key in ("on_time_frac", "latency_p95_ms", "realtime_factor", "n_keyframes"):
         assert key in d
+
+
+def test_stream_cli_end_to_end(tiny_sequence, tmp_path):
+    """The `stream` subcommand drives the same path users invoke: replay,
+    report JSON, final optimized trajectory."""
+    import json
+
+    from gorio_tpu.cli import main
+
+    report_p = tmp_path / "stream.json"
+    out_p = tmp_path / "est.tum"
+    main([
+        "stream", "--dataset", str(tiny_sequence), "--rate-multiplier", "10",
+        "--capacity", "512", "--no-loops", "--report-out", str(report_p),
+        "--output", str(out_p), "--no-warmup",
+    ])
+    rep = json.loads(report_p.read_text())
+    assert rep["n_processed"] + rep["n_dropped"] == rep["n_frames"] == 26
+    assert rep["n_keyframes"] > 10
+    from gorio_tpu.io.tum import load_tum
+
+    stamps, poses = load_tum(out_p)
+    assert len(stamps) == rep["n_keyframes"]
