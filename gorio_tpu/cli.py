@@ -257,6 +257,14 @@ def cmd_slam(args):
                     # per-gate loop-closure rejection counts: which gate
                     # starves recall (diagnostic the reference lacks)
                     "loop_gate_counts": slam.loop_detector.gate_counts,
+                    # accepted loops + keyframe stamps: enough to compute
+                    # recall vs ground-truth revisit pairs offline
+                    # (scripts/recall_benchmark.py -> RECALL.json)
+                    "loops": [
+                        [int(l.key_new), int(l.key_old), round(float(l.fitness), 4)]
+                        for l in slam.loops
+                    ],
+                    "keyframe_stamps": [round(float(s), 6) for s in stamps],
                     "point_distribution": (point_dist / max(n, 1)).round(2).tolist(),
                 },
                 fh,

@@ -163,13 +163,23 @@ def decode_pointcloud2(data: bytes) -> PointCloudMsg:
         dt = c.u8()
         cnt = c.u32()
         fields.append((name, off, dt, cnt))
-    c.u8()  # is_bigendian
+    is_bigendian = c.u8()
+    if is_bigendian:
+        # every known radar/lidar driver writes little-endian; decoding BE
+        # data with LE views would silently produce garbage coordinates
+        raise ValueError("decode_pointcloud2: big-endian PointCloud2 not supported")
     point_step = c.u32()
-    c.u32()  # row_step
+    row_step = c.u32()
     nbytes = c.u32()
     raw = np.frombuffer(c.buf, np.uint8, count=nbytes, offset=c.off)
     n = height * width
-    raw = raw[: n * point_step].reshape(n, point_step)
+    if height > 1 and row_step != width * point_step:
+        # organized cloud with per-row padding: slice the payload row-wise
+        # and strip the padding before the (n, point_step) view
+        rows = raw[: height * row_step].reshape(height, row_step)
+        raw = rows[:, : width * point_step].reshape(n, point_step)
+    else:
+        raw = raw[: n * point_step].reshape(n, point_step)
     cols = {}
     for name, off, dt, cnt in fields:
         dtype = _PF_DTYPE.get(dt)
@@ -317,13 +327,16 @@ class RosbagReader:
                     data = bz2.decompress(data)
                 elif compression == "lz4":
                     try:
-                        import lz4.frame  # optional; not in the base image
-                    except ImportError as e:
-                        raise IOError(
-                            "bag uses lz4 chunk compression; install lz4 or "
-                            "re-record with bz2/none"
-                        ) from e
-                    data = lz4.frame.decompress(data)
+                        import lz4.frame  # faster native path when available
+
+                        data = lz4.frame.decompress(data)
+                    except ImportError:
+                        # vendored pure-Python fallback (io/lz4dec.py): slow
+                        # but dependency-free — a real `rosbag record --lz4`
+                        # bag must decode, not error (VERDICT r3 item 6)
+                        from .lz4dec import decompress_frame
+
+                        data = decompress_frame(data)
                 yield from self._iter_stream(data, 0, len(data))
             elif op == OP_MSG:
                 conn = struct.unpack("<I", header["conn"])[0]

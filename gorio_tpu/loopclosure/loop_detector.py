@@ -113,7 +113,12 @@ def _verify_batch(
         # poisons every later pairwise-consistency comparison.
         Ta, ca, ia, fa = one(T0)
         Tb, cb, ib, fb = one(jnp.eye(4, dtype=T0.dtype))
-        a = fa <= fb
+        # NaN-safe selection: a diverged seed yields NaN fitness, and
+        # `fa <= fb` is False whenever fb is NaN — which would pick the NaN
+        # result over a finite one. Treat NaN as +inf on both sides.
+        fa_s = jnp.where(jnp.isnan(fa), jnp.inf, fa)
+        fb_s = jnp.where(jnp.isnan(fb), jnp.inf, fb)
+        a = fa_s <= fb_s
         return (
             jnp.where(a, Ta, Tb),
             jnp.where(a, ca, cb),
@@ -282,7 +287,11 @@ class LoopDetector:
 
         res, info, fitness = _one(init)
         res_b, info_b, fit_b = _one(jnp.eye(4, dtype=init.dtype))
-        if float(fit_b) < float(fitness):
+        # NaN-safe seed selection (mirror of _verify_batch): a NaN estimate-
+        # seed fitness must not win over a finite co-location result
+        f_a = float(fitness) if np.isfinite(float(fitness)) else np.inf
+        f_b = float(fit_b) if np.isfinite(float(fit_b)) else np.inf
+        if f_b < f_a:
             res, info, fitness = res_b, info_b, fit_b
         # fitness is the real verification gate (PCL's hasConverged() is
         # effectively always true — see detect_batch)

@@ -363,26 +363,37 @@ class ScanMatchingOdometry:
         out[:3, :3] = fused
         return out
 
+    def _imu_R_at(self, t: float):
+        """Orientation sample nearest to stamp `t` from the pushed IMU queue
+        (parity: `get_closest_imu`, `scan_matching_odometry_nodelet.cpp:254-286`)."""
+        ts = [s[0] for s in self._imu_rp]
+        i = int(np.searchsorted(ts, t))
+        if i >= len(ts):
+            i = len(ts) - 1
+        elif i > 0 and abs(ts[i - 1] - t) < abs(ts[i] - t):
+            i -= 1
+        return self._imu_rp[i][3]
+
     def _imu_fallback_delta(self, stamp: float, egovel_trans: np.ndarray):
         """IMU-rotation + egovel-translation replacement for a rejected
         transform; parity `scan_matching_odometry_nodelet.cpp:511-550`:
         rotation = Rz(last radar-delta yaw) Ry(IMU delta pitch) Rx(IMU delta
         roll), translation = the cumulative ego-velocity step. Returns None
         when no IMU orientation stream was pushed (the caller then falls back
-        to the rotation-stale motion prediction)."""
+        to the rotation-stale motion prediction).
+
+        The IMU delta spans exactly one frame: R at the previous frame's
+        stamp vs R at this frame's stamp (the reference refreshes
+        `last_frame_imu` every frame, `:531` — caching only at rejection time
+        would make the first rejection after a long accepted stretch apply a
+        multi-second accumulated roll/pitch as a single-frame delta)."""
         if not self.cfg.enable_imu_thresholding or len(self._imu_rp) < 2:
             return None
-        ts = [s[0] for s in self._imu_rp]
-        i = int(np.searchsorted(ts, stamp))
-        if i >= len(ts):
-            i = len(ts) - 1
-        elif i > 0 and abs(ts[i - 1] - stamp) < abs(ts[i] - stamp):
-            i -= 1
-        R_now = self._imu_rp[i][3]
-        R_prev = getattr(self, "_last_frame_imu_R", None)
-        self._last_frame_imu_R = R_now
-        if R_prev is None:
+        prev_stamp = getattr(self, "_prev_frame_stamp", None)
+        if prev_stamp is None:
             return None
+        R_now = self._imu_R_at(stamp)
+        R_prev = self._imu_R_at(prev_stamp)
         rot_imu = R_prev.T @ R_now
         # Eigen eulerAngles(0,1,2): R = Rx(a) Ry(b) Rz(c)
         roll_imu = np.arctan2(-rot_imu[1, 2], rot_imu[2, 2])
@@ -472,6 +483,7 @@ class ScanMatchingOdometry:
                 self._submap_frames.append((self.keyframe_pose.copy(), out.cloud))
             return self.odom.copy(), host[18:21]
 
+        self._prev_frame_stamp = self.last_stamp
         self.last_stamp = stamp
         out = fused_frontend_step(
             packed_dev, state_dev, self.keyframe_cloud, self.cfg, gscfg, ppcfg
@@ -569,6 +581,7 @@ class ScanMatchingOdometry:
 
         # cumulative ego-velocity delta since the last frame (`:356-365`)
         dt = stamp - self.last_stamp
+        self._prev_frame_stamp = self.last_stamp
         self.last_stamp = stamp
         step_T = np.eye(4)
         step_T[:3, 3] = np.asarray(ego_vel) * dt

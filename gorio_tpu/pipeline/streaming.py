@@ -97,34 +97,46 @@ def stream_sequence(
         nonlocal n_dropped, n_frames, first_stamp, last_stamp
         t_wall0 = time.monotonic()
         t_rec0 = None
-        for stamp, n_pts, packed in ds:
-            if stop.is_set():
-                break
-            n_frames += 1
-            if t_rec0 is None:
-                t_rec0 = stamp
-                first_stamp = stamp
-            last_stamp = stamp
-            # release on the recording clock
-            release = t_wall0 + (stamp - t_rec0) / rate_multiplier
-            delay = release - time.monotonic()
-            if delay > 0:
-                time.sleep(delay)
-            item = (stamp, n_pts, packed.copy(), time.monotonic())
-            if mode == "drop":
-                while True:
-                    try:
-                        q.put_nowait(item)
-                        break
-                    except queue.Full:
+        # the sentinel (or a raised exception) must reach the consumer even
+        # when dataset iteration dies mid-stream (e.g. a corrupt .grf) —
+        # otherwise the consumer blocks forever on q.get()
+        final: object = None
+        try:
+            for stamp, n_pts, packed in ds:
+                if stop.is_set():
+                    break
+                n_frames += 1
+                if t_rec0 is None:
+                    t_rec0 = stamp
+                    first_stamp = stamp
+                last_stamp = stamp
+                # release on the recording clock
+                release = t_wall0 + (stamp - t_rec0) / rate_multiplier
+                delay = release - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                # Latency is accounted from the frame's *scheduled* sensor
+                # arrival (`release`), not from queue insertion: in block
+                # mode the producer can stall past its schedule while the
+                # queue is full, and that stall is latency a robot would see.
+                item = (stamp, n_pts, packed.copy(), release)
+                if mode == "drop":
+                    while True:
                         try:
-                            q.get_nowait()
-                            n_dropped += 1
-                        except queue.Empty:
-                            pass
-            else:  # block: the /read_until contract
-                q.put(item)
-        q.put(None)
+                            q.put_nowait(item)
+                            break
+                        except queue.Full:
+                            try:
+                                q.get_nowait()
+                                n_dropped += 1
+                            except queue.Empty:
+                                pass
+                else:  # block: the /read_until contract
+                    q.put(item)
+        except BaseException as exc:  # propagate to the consumer
+            final = exc
+        finally:
+            q.put(final)
 
     th = threading.Thread(target=producer, daemon=True)
     t_start = time.monotonic()
@@ -140,6 +152,8 @@ def stream_sequence(
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             stamp, n_pts, packed, t_release = item
             pose, v = odo.step_fused(
                 float(stamp), packed, n_pts, ground=ground,

@@ -22,22 +22,28 @@ import tempfile
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
+
+_TPU = "--tpu" in sys.argv
+if not _TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 jax.config.update(
     "jax_compilation_cache_dir",
     str(Path(__file__).resolve().parent.parent / ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not _TPU:
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 REPO = Path(__file__).resolve().parent.parent
 STREAM_JSON = REPO / "STREAM.json"
+STREAM_TPU_JSON = REPO / "STREAM_TPU.json"
 
 
 def run(rate: float, mode: str, workdir=None) -> dict:
@@ -90,16 +96,26 @@ def main_cli():
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
     ap.add_argument("--rate", type=float, default=1.0)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the ambient (tunneled TPU) backend and "
+                    "write STREAM_TPU.json; adds a rate curve")
+    ap.add_argument("--rates", type=str, default="",
+                    help="comma-separated extra rate multipliers (tpu mode)")
     args = ap.parse_args()
+    platform = jax.default_backend()
     with tempfile.TemporaryDirectory(prefix="gorio_stream_") as wd:
         results = {
+            "platform": platform,
             "block_rate1": run(args.rate, "block", wd),
             "drop_rate1": run(args.rate, "drop", wd),
         }
+        for r in (float(x) for x in args.rates.split(",") if x):
+            results[f"block_rate{r:g}"] = run(r, "block", wd)
     print(json.dumps(results, indent=2))
     if args.update:
-        STREAM_JSON.write_text(json.dumps(results, indent=2) + "\n")
-        print(f"wrote {STREAM_JSON}", file=sys.stderr)
+        out = STREAM_TPU_JSON if args.tpu else STREAM_JSON
+        out.write_text(json.dumps(results, indent=2) + "\n")
+        print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

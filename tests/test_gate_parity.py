@@ -264,3 +264,35 @@ def test_pairwise_consistency_accepts_consistent_loops():
     bad = T_rel_cur.copy()
     bad[:3, 3] += [5.0, 0, 0]
     assert not pairwise_consistency_check(inv(bad), odom_li, T_rel_prev, odom_jk, cfg)
+
+
+def test_imu_fallback_delta_spans_one_frame():
+    """The IMU fallback rotation must span prev_frame -> this frame, not the
+    whole accepted stretch since the last rejection (advisor r3: the
+    reference refreshes last_frame_imu EVERY frame,
+    scan_matching_odometry_nodelet.cpp:531)."""
+    from gorio_tpu.pipeline.odometry import ScanMatchingOdometry, _rpy_to_mat
+
+    odo = ScanMatchingOdometry()
+    # roll ramps 0.01 rad per 0.1 s over 5 s of IMU samples
+    for k in range(50):
+        t = k * 0.1
+        roll = 0.01 * k
+        R = _rpy_to_mat(roll, 0.0, 0.0)
+        w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+        q = [w, (R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w),
+             (R[1, 0] - R[0, 1]) / (4 * w)]
+        odo.push_imu(t, q)
+    # frames at 10 Hz; previous frame at t=4.8, rejection at t=4.9
+    odo._prev_frame_stamp = 4.8
+    fb = odo._imu_fallback_delta(4.9, np.array([0.5, 0.0, 0.0]))
+    assert fb is not None
+    roll_fb = np.arctan2(fb[2, 1], fb[2, 2])
+    # one-frame delta is 0.01 rad — an accumulated-stretch bug would give ~0.48
+    assert abs(roll_fb - 0.01) < 2e-3, roll_fb
+    np.testing.assert_allclose(fb[:3, 3], [0.5, 0.0, 0.0])
+    # without a previous frame stamp there is no defined delta
+    odo2 = ScanMatchingOdometry()
+    for k in range(5):
+        odo2.push_imu(k * 0.1, [1.0, 0, 0, 0])
+    assert odo2._imu_fallback_delta(0.4, np.zeros(3)) is None

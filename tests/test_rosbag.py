@@ -134,6 +134,10 @@ def write_test_bag(path, compression="none", n_frames=4):
         records += _msg_record(3, t, _navsat_payload(t, 1.30 + 1e-5 * k, 103.68, 10.0))
     if compression == "bz2":
         chunk_data = bz2.compress(records)
+    elif compression == "lz4":
+        from gorio_tpu.io.lz4dec import compress_frame
+
+        chunk_data = compress_frame(records)
     else:
         chunk_data = records
     chunk = _record(
@@ -153,7 +157,7 @@ def write_test_bag(path, compression="none", n_frames=4):
     return frames
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_rosbag_roundtrip(tmp_path, compression):
     bag = tmp_path / "test.bag"
     frames = write_test_bag(bag, compression=compression)
@@ -240,3 +244,37 @@ def test_convert_rosbag(tmp_path):
     R = radar_to_livox_extrinsic()[:3, :3]
     np.testing.assert_allclose(xyz, (xyz0 @ R.T).astype(np.float32), atol=1e-5)
     np.testing.assert_allclose(dop, dop0, atol=1e-6)
+
+
+def test_pointcloud2_bigendian_raises():
+    """Big-endian PointCloud2 must fail loudly, not decode as garbage
+    (advisor r3: is_bigendian was silently discarded)."""
+    n = 4
+    arr = np.zeros((n, 3), np.float32)
+    payload = _ros_header(1.0) + struct.pack("<II", 1, n) + struct.pack("<I", 3)
+    for i, name in enumerate(["x", "y", "z"]):
+        payload += _string(name) + struct.pack("<IBI", i * 4, 7, 1)
+    payload += b"\x01" + struct.pack("<II", 12, 12 * n)  # is_bigendian=1
+    payload += struct.pack("<I", 12 * n) + arr.tobytes() + b"\x01"
+    with pytest.raises(ValueError, match="big-endian"):
+        decode_pointcloud2(payload)
+
+
+def test_pointcloud2_organized_row_padding():
+    """Organized cloud (height>1) with row_step > width*point_step: the
+    per-row padding must be stripped, not folded into the point view."""
+    h, w = 3, 4
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(h * w, 3)).astype(np.float32)
+    point_step, pad = 12, 8
+    row_step = w * point_step + pad
+    rows = b""
+    for r in range(h):
+        rows += pts[r * w:(r + 1) * w].tobytes() + b"\xee" * pad
+    payload = _ros_header(2.0) + struct.pack("<II", h, w) + struct.pack("<I", 3)
+    for i, name in enumerate(["x", "y", "z"]):
+        payload += _string(name) + struct.pack("<IBI", i * 4, 7, 1)
+    payload += b"\x00" + struct.pack("<II", point_step, row_step)
+    payload += struct.pack("<I", len(rows)) + rows + b"\x01"
+    pc = decode_pointcloud2(payload)
+    np.testing.assert_allclose(pc.xyz, pts, rtol=1e-6)

@@ -100,3 +100,17 @@ def test_stream_cli_end_to_end(tiny_sequence, tmp_path):
 
     stamps, poses = load_tum(out_p)
     assert len(stamps) == rep["n_keyframes"]
+
+
+def test_stream_producer_error_propagates(tiny_sequence, tmp_path):
+    """A corrupt frame mid-stream must surface in the consumer, not hang it
+    (advisor r3: sentinel was outside try/finally)."""
+    frames = sorted(tiny_sequence.glob("*.grf"))[:6]
+    bad = tmp_path / "bad.grf"
+    bad.write_bytes(b"\x00" * 16)  # invalid magic/truncated
+    frames = frames[:3] + [bad] + frames[3:]
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, enable_preintegration=False))
+    odo = ScanMatchingOdometry(OdometryConfig())
+    with pytest.raises(Exception):
+        stream_sequence(frames, slam, odo, rate_multiplier=50.0, mode="block",
+                        capacity=512)
