@@ -14,6 +14,7 @@ time on one core.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -46,8 +47,11 @@ class SolveConfig(NamedTuple):
     lm_lambda_init: float = 1e-6
     lm_lambda_factor: float = 10.0
     rel_tol: float = 1e-9
-    solver: str = "dense"  # "dense" | "cg"
+    solver: str = "dense"  # "dense" | "cg" | "direct" (sparse path only)
     cg_iters: int = 100
+    # static bound on non-adjacent (loop) edges for the sparse "direct"
+    # solver's Woodbury correction; builders size it from the live loop count
+    loop_capacity: int = 64
     # Freeze pose 0 (parity: fix_first_node + anchor, `:566-579`). Default off:
     # the builder-level anchor prior fixes the gauge without constraining pose 0
     # to its (possibly corrupted) initial value.
@@ -236,7 +240,26 @@ def _solve_cg(H, b, lam, dtype, iters):
     return x
 
 
+def _f32_matmuls(fn):
+    """Trace the wrapped function under full-f32 matmul precision.
+
+    TPU MXU f32 matmuls default to bfloat16 passes (~3 decimal digits) —
+    fine for the big NN/registration contractions, catastrophic for the
+    solver's tiny 4x4/6x6 chains (SE(3) composition, block-Thomas
+    recurrences, H/b assembly): at K~1000 the accumulated error floors LM at
+    a chi2 ~20x the true optimum. These matmuls are microscopic, so full
+    precision is free."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 @partial(jax.jit, static_argnames=("cfg",))
+@_f32_matmuls
 def optimize_graph(poses0, graph: GraphData, cfg: SolveConfig = SolveConfig()) -> SolveResult:
     """LM optimization; gauge fixed by freezing pose 0 (cfg.fix_first)."""
     K = poses0.shape[0]
@@ -449,6 +472,7 @@ class PlaneSolveResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@_f32_matmuls
 def optimize_graph_with_planes(
     poses0,
     planes0,

@@ -444,12 +444,17 @@ class RadarGraphSLAM:
 
         poses0, graph = g.freeze()
         solve_cfg = self.cfg.solve
-        # above the dense cutoff, switch to the block-sparse CG solver with
-        # the block-tridiagonal chain preconditioner (graph/sparse.py) — the
-        # structure-exploiting path g2o gets from CHOLMOD (`graph_slam.cpp:
-        # 353`): O(E) memory, ~(#loops+1) CG iterations, vs the dense
-        # (6K)^2 assembly + O(K^3) factorization
+        # above the dense cutoff, switch to the block-sparse solver
+        # (graph/sparse.py) — the structure-exploiting path g2o gets from
+        # CHOLMOD (`graph_slam.cpp:353`). The linear solve is the EXACT
+        # tridiag+Woodbury direct method (loop closures are the only
+        # non-adjacent between edges, so the low-rank capacity is sized from
+        # the live loop count, bucketed to limit recompiles).
         use_sparse = len(g.poses) * 6 > self.cfg.solve_dense_max_dim
+        if use_sparse and solve_cfg.solver in ("dense", "direct"):
+            n_loop = max(len(self.loops), 1)
+            lcap = max(8, 1 << (n_loop - 1).bit_length())
+            solve_cfg = solve_cfg._replace(solver="direct", loop_capacity=lcap)
         if floored:
             planes0, pg = g.freeze_planes()
             if use_sparse:

@@ -242,12 +242,176 @@ def _error_terms(prob: GICPProblem, T, idx, ok, mah, w):
     return moved, err, m_err, cost
 
 
+def _sym6(M):
+    """(..., 3, 3) symmetric matrix -> components (xx, yy, zz, xy, xz, yz)."""
+    return (M[..., 0, 0], M[..., 1, 1], M[..., 2, 2],
+            M[..., 0, 1], M[..., 0, 2], M[..., 1, 2])
+
+
+def _apd_cov6(pts, dist_var, azimuth_var_deg, elevation_var_deg):
+    """`apd_polar_cov` in component form (xx, yy, zz, xy, xz, yz) — closed-form
+    R diag(s^2) R^T with R = Rz(az) Ry(el); no (N,3,3) intermediates."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    d = jnp.sqrt(x * x + y * y + z * z)
+    s1 = (d * dist_var / 400.0) ** 2
+    s2 = (d * jnp.sin(jnp.deg2rad(azimuth_var_deg))) ** 2
+    s3 = (d * jnp.sin(jnp.deg2rad(elevation_var_deg))) ** 2
+    elevation = jnp.arctan2(jnp.sqrt(x * x + y * y), z)
+    azimuth = jnp.arctan2(y, x)
+    cy, sy = jnp.cos(azimuth), jnp.sin(azimuth)
+    cp, sp = jnp.cos(elevation), jnp.sin(elevation)
+    cy2, sy2, cp2, sp2 = cy * cy, sy * sy, cp * cp, sp * sp
+    xx = s1 * cy2 * cp2 + s2 * sy2 + s3 * cy2 * sp2
+    yy = s1 * sy2 * cp2 + s2 * cy2 + s3 * sy2 * sp2
+    zz = s1 * sp2 + s3 * cp2
+    xy = cy * sy * (s1 * cp2 + s3 * sp2 - s2)
+    xz = cy * cp * sp * (s3 - s1)
+    yz = sy * cp * sp * (s3 - s1)
+    return xx, yy, zz, xy, xz, yz
+
+
+def _sym_inv6(c):
+    """Closed-form inverse of a symmetric 3x3 given/returning 6 components."""
+    a, d, f, b, cc, e = c[0], c[1], c[2], c[3], c[4], c[5]  # xx yy zz xy xz yz
+    A0 = d * f - e * e
+    A1 = cc * e - b * f
+    A2 = b * e - cc * d
+    det = a * A0 + b * A1 + cc * A2
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    return (A0 * inv_det, (a * f - cc * cc) * inv_det, (a * d - b * b) * inv_det,
+            A1 * inv_det, A2 * inv_det, (b * cc - a * e) * inv_det)
+
+
+def _mah33(c):
+    """6 components -> (..., 3, 3) symmetric matrix."""
+    a, d, f, b, cc, e = c
+    row0 = jnp.stack([a, b, cc], -1)
+    row1 = jnp.stack([b, d, e], -1)
+    row2 = jnp.stack([cc, e, f], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
 def make_gicp_callbacks(prob: GICPProblem, cfg: GICPConfig):
     """Build (linearize, compute_error) for `lm_optimize`.
 
     Parity with `FastAPDGICP::linearize` / `compute_error`
     (`fast_apdgicp_impl.hpp:224-346`); note the reference weights the *cost*
-    with (1+geo+cl) but not H/b — reproduced here."""
+    with (1+geo+cl) but not H/b — reproduced here.
+
+    The linearize epilogue (APD covariance, (C_B + R C_A R^T)^-1 Mahalanobis,
+    per-point H/b) is written in closed COMPONENT form on (N,) columns,
+    reduced by one (C, N) x (N,) matvec: on TPU the naive (N,3,3)
+    stack/transpose/einsum pipeline costs ~70% of the linearize in layout
+    churn (measured: 0.41 of 0.59 ms at 4096 pts) while the math itself is
+    ~100 flops/point. Equality with the straightforward form is pinned by
+    tests/test_registration.py::test_component_linearize_matches_reference."""
+
+    tcov6 = _sym6(prob.tgt_cov)  # componentized once per problem
+    scov6 = _sym6(prob.src_cov)
+    gate2 = cfg.max_correspondence_distance ** 2
+    # target payload rows selected INSIDE the NN kernel (one one-hot MXU
+    # matmul instead of 8 HBM gathers): [xyz, cov6, cluster, mask]
+    payload = jnp.concatenate(
+        [prob.tgt_xyz] + [c[:, None] for c in tcov6]
+        + [prob.tgt_cluster.astype(prob.tgt_xyz.dtype)[:, None],
+           prob.tgt_mask.astype(prob.tgt_xyz.dtype)[:, None]], axis=1,
+    )
+
+    def linearize(T):
+        from ..ops.nn_pallas import nn1_select
+
+        dtype = T.dtype
+        R = T[:3, :3]
+        t = T[:3, 3]
+        moved = prob.src_xyz @ R.T + t
+        idx, sqd, sel = nn1_select(moved, prob.tgt_xyz, payload,
+                                   ref_mask=prob.tgt_mask)
+        ok = prob.src_mask & (sqd < gate2) & (sel[:, 10] > 0.5)
+        okf = ok.astype(dtype)
+
+        A6 = [scov6[k] for k in range(6)]
+        B6 = [sel[:, 3 + k] for k in range(6)]
+        if cfg.mode == "apdgicp":
+            cd = _apd_cov6(moved, cfg.dist_var, cfg.azimuth_var_deg,
+                           cfg.elevation_var_deg)
+            A6 = [A6[k] + cd[k] for k in range(6)]
+            B6 = [B6[k] + cd[k] for k in range(6)]
+            cl_w = jnp.where(
+                (sel[:, 9] == prob.src_cluster) & (prob.src_cluster >= 0.0),
+                1.0 / prob.src_xyz.shape[0], 0.0,
+            )
+            w = 1.0 + prob.src_geo_w + cl_w
+        else:
+            w = jnp.ones_like(prob.src_geo_w)
+
+        # RCR = B + R A R^T, unrolled over the symmetric components
+        Af = [[A6[0], A6[3], A6[4]], [A6[3], A6[1], A6[5]], [A6[4], A6[5], A6[2]]]
+        Bf = [[B6[0], B6[3], B6[4]], [B6[3], B6[1], B6[5]], [B6[4], B6[5], B6[2]]]
+        RA = [[sum(R[i, j] * Af[j][k] for j in range(3)) for k in range(3)]
+              for i in range(3)]
+        def rcr(i, l):
+            return Bf[i][l] + sum(RA[i][k] * R[l, k] for k in range(3))
+        m = _sym_inv6((rcr(0, 0), rcr(1, 1), rcr(2, 2),
+                       rcr(0, 1), rcr(0, 2), rcr(1, 2)))
+        m_xx, m_yy, m_zz, m_xy, m_xz, m_yz = m
+        M0 = (m_xx, m_xy, m_xz)
+        M1 = (m_xy, m_yy, m_yz)
+        M2 = (m_xz, m_yz, m_zz)
+
+        ex = sel[:, 0] - moved[:, 0]
+        ey = sel[:, 1] - moved[:, 1]
+        ez = sel[:, 2] - moved[:, 2]
+        me = tuple(Mi[0] * ex + Mi[1] * ey + Mi[2] * ez for Mi in (M0, M1, M2))
+        cost_col = w * (ex * me[0] + ey * me[1] + ez * me[2])
+
+        px, py, pz = moved[:, 0], moved[:, 1], moved[:, 2]
+        # G = sk(p)^T M rows: G[i] = sk[:,i] . M columns (M symmetric)
+        G = [tuple(pz * M1[k] - py * M2[k] for k in range(3)),
+             tuple(px * M2[k] - pz * M0[k] for k in range(3)),
+             tuple(py * M0[k] - px * M1[k] for k in range(3))]
+        # v_j = M @ sk[:, j] == G[j] by symmetry of M (sk^T M = (M sk)^T rows)
+        # H_rr[i][j] = sk[:, i] . v_j
+        def skdot(i, v):
+            if i == 0:
+                return pz * v[1] - py * v[2]
+            if i == 1:
+                return px * v[2] - pz * v[0]
+            return py * v[0] - px * v[1]
+        Hrr = [[skdot(i, G[j]) for j in range(3)] for i in range(3)]
+        br = [skdot(i, me) for i in range(3)]
+
+        # one (C, N) @ (N,) matvec reduces every accumulator at once
+        cols = jnp.stack(
+            [Hrr[0][0], Hrr[1][1], Hrr[2][2], Hrr[0][1], Hrr[0][2], Hrr[1][2]]
+            + [G[i][k] for i in range(3) for k in range(3)]  # -H_rt
+            + [m_xx, m_yy, m_zz, m_xy, m_xz, m_yz]  # H_tt
+            + br + [me[0], me[1], me[2], cost_col], axis=0,
+        )
+        s = cols @ okf
+        Hrr_m = jnp.stack([jnp.stack([s[0], s[3], s[4]]),
+                           jnp.stack([s[3], s[1], s[5]]),
+                           jnp.stack([s[4], s[5], s[2]])])
+        Hrt_m = -s[6:15].reshape(3, 3)
+        Htt_m = jnp.stack([jnp.stack([s[15], s[18], s[19]]),
+                           jnp.stack([s[18], s[16], s[20]]),
+                           jnp.stack([s[19], s[20], s[17]])])
+        H = jnp.block([[Hrr_m, Hrt_m], [Hrt_m.T, Htt_m]])
+        b = jnp.concatenate([s[21:24], -s[24:27]])
+        cost = s[27]
+        aux = (idx, ok, _mah33(m), w)
+        return cost, H, b, aux
+
+    def compute_error(T, aux):
+        idx, ok, mah, w = aux
+        _, _, _, cost = _error_terms(prob, T, idx, ok, mah, w)
+        return cost
+
+    return linearize, compute_error
+
+
+def make_gicp_callbacks_reference(prob: GICPProblem, cfg: GICPConfig):
+    """The straightforward (N,3,3) einsum formulation — kept as the equality
+    reference for the component-form fast path above."""
 
     def linearize(T):
         idx, ok, mah, w, _ = _correspondences(prob, T, cfg)

@@ -122,3 +122,46 @@ def test_fitness_score(scan_pair):
     bad, _ = fitness_score(source, target, jnp.eye(4, dtype=T_true.dtype))
     assert float(good) < float(bad)
     assert float(good) < 0.05
+
+
+def test_component_linearize_matches_reference():
+    """The component-form linearize (closed-form APD cov + symmetric inverse
+    + (C,N) matvec reduction) must equal the straightforward (N,3,3) einsum
+    formulation bit-for-bit in f64 — both modes, at a non-trivial pose."""
+    import jax
+
+    from gorio_tpu.core.pointcloud import random_cloud
+    from gorio_tpu.registration.gicp import (
+        GICPConfig,
+        make_gicp_callbacks,
+        make_gicp_callbacks_reference,
+        prepare_gicp,
+    )
+
+    tgt = random_cloud(jax.random.PRNGKey(3), 500, capacity=512)
+    src = tgt._replace(xyz=tgt.xyz + jnp.asarray([0.3, -0.1, 0.05]))
+    T = jnp.asarray(
+        np.block([
+            [np.asarray(
+                __import__("scipy.spatial.transform", fromlist=["Rotation"])
+                .Rotation.from_euler("zyx", [0.05, -0.02, 0.01]).as_matrix()),
+             np.array([[0.2], [-0.1], [0.3]])],
+            [np.zeros((1, 3)), np.ones((1, 1))],
+        ])
+    )
+    for mode in ("apdgicp", "gicp"):
+        cfg = GICPConfig(mode=mode)
+        prob = prepare_gicp(src, tgt, cfg)
+        lin_fast, err_fast = make_gicp_callbacks(prob, cfg)
+        lin_ref, err_ref = make_gicp_callbacks_reference(prob, cfg)
+        c_f, H_f, b_f, aux_f = jax.jit(lin_fast)(T)
+        c_r, H_r, b_r, aux_r = jax.jit(lin_ref)(T)
+        np.testing.assert_allclose(float(c_f), float(c_r), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_r), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_r), rtol=1e-8, atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(aux_f[0]), np.asarray(aux_r[0]))
+        np.testing.assert_allclose(np.asarray(aux_f[2]), np.asarray(aux_r[2]), rtol=1e-9, atol=1e-12)
+        # compute_error sees the same cost through the aux path
+        np.testing.assert_allclose(
+            float(jax.jit(err_fast)(T, aux_f)), float(jax.jit(err_ref)(T, aux_r)), rtol=1e-10
+        )

@@ -128,3 +128,50 @@ def test_sparse_scales_to_1000_keyframes():
         dt = time.perf_counter() - t0
         assert np.isfinite(float(res.chi2))
         assert dt < budget_s, f"K={K}: {dt:.2f}s > {budget_s}s"
+
+
+def test_direct_woodbury_matches_dense():
+    """The exact tridiag+Woodbury linear solver reaches the dense optimum
+    (tighter than CG, which stagnates in f32)."""
+    g, gt = make_chain_graph(K=60, n_loops=6, seed=5)
+    poses0, graph = g.freeze()
+    dense = optimize_graph(poses0, graph, SolveConfig(max_iterations=40))
+    direct = optimize_graph_sparse(
+        poses0, graph, SolveConfig(max_iterations=40, solver="direct",
+                                   loop_capacity=8)
+    )
+    assert float(direct.chi2) <= float(dense.chi2) * 1.001 + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(direct.poses)[:, :3, 3],
+        np.asarray(dense.poses)[:, :3, 3], atol=5e-4,
+    )
+
+
+def test_direct_woodbury_linear_solve_exact():
+    """One Woodbury solve satisfies the damped normal equations to fp
+    precision (CG's stagnation was the r3 weakness)."""
+    import jax
+
+    from gorio_tpu.graph.sparse import (
+        _chain_upper_blocks, _damped, build_block_normal_equations,
+        solve_tridiag_woodbury,
+    )
+
+    g, gt = make_chain_graph(K=50, n_loops=5, seed=9)
+    poses0, graph = g.freeze()
+    K = poses0.shape[0]
+    f = graph.between
+    Hdiag, Hoff, b, _ = build_block_normal_equations(poses0, graph)
+    lam = jnp.asarray(1e-6, poses0.dtype)
+    A = _damped(Hdiag, lam)
+    C = _chain_upper_blocks(Hoff, f.i, f.j, K, poses0.dtype)
+    x = solve_tridiag_woodbury(A, C, Hoff, f.i, f.j, f.mask, -b, 8)
+
+    def mv(x):
+        y = jnp.einsum("kij,kj->ki", A, x)
+        y = y.at[f.i].add(jnp.einsum("eij,ej->ei", Hoff, x[f.j]))
+        y = y.at[f.j].add(jnp.einsum("eji,ej->ei", Hoff, x[f.i]))
+        return y
+
+    r = float(jnp.linalg.norm(mv(x) + b) / jnp.linalg.norm(b))
+    assert r < 1e-8, r
