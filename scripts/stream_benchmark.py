@@ -104,6 +104,11 @@ def main_cli():
     args = ap.parse_args()
     platform = jax.default_backend()
     with tempfile.TemporaryDirectory(prefix="gorio_stream_") as wd:
+        # throwaway pass: the per-run warmup covers the frontend programs but
+        # the backend (preintegration batches etc.) compiles lazily on first
+        # contact — without this the FIRST measured mode eats multi-second
+        # compile latencies in its tail percentiles
+        run(8.0, "drop", wd)
         results = {
             "platform": platform,
             "block_rate1": run(args.rate, "block", wd),
