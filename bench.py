@@ -17,18 +17,28 @@ distance with PCL's default unbounded radius (`getFitnessScore()` at
 reported alongside so the align's improvement over "not aligning at all" is
 visible (the scan pair is nearly aligned to begin with).
 
-MEASUREMENT DISCIPLINE (tunneled-TPU quirk): any device->host value read
-(`int(x)`, `float(x)`, `np.asarray(x)`, indexing) permanently degrades
-per-dispatch latency for the rest of the process (~35us -> ~2.5ms, and far
-worse for big programs). `block_until_ready` is safe. So this file times
-everything first, holding results as device arrays, and fetches/prints all
-values only at the very end.
+MEASUREMENT DISCIPLINE (tunneled-TPU semantics, corrected r4): until the
+process performs its first device->host VALUE read, `block_until_ready` on
+this tunneled backend returns without waiting for execution — "timings"
+taken in that state measure async enqueue only (verified: a ~45 ms matmul
+chain "blocks" in 0.13 ms before the first read, 45 ms after). Earlier
+rounds interpreted the post-read slowdown as "dispatch poisoning" to avoid;
+it is actually the only truthful synchronous mode. So this file:
+
+  1. performs one deliberate tiny fetch up front (`_enter_sync_mode`),
+     putting the process in real-synchronization mode;
+  2. times hot kernels CHAINED inside one jitted `fori_loop` and divides
+     (per-iteration device compute, no per-call tunnel dispatch) — the
+     number a co-located deployment sees;
+  3. times end-to-end calls per-dispatch-with-block (includes the tunnel
+     round trip) as the pessimistic remote-client number.
 
 Prints ONE JSON line:
   {"metric": "ndt_direct7_align_ms", "value": ..., "unit": "ms",
    "vs_baseline": <reference_ms / ours_ms>}
-Secondary throughput numbers (APDGICP, UGPM, ego-velocity, GP-interp, HMC)
-go to stderr.
+value = the chained in-program per-align time (2); the per-dispatch number
+is reported alongside as `sync_ms`. Secondary throughput numbers (APDGICP,
+UGPM, ego-velocity, GP-interp, HMC) go to stderr.
 """
 
 import json
@@ -117,6 +127,11 @@ def main():
     platform = jax.default_backend()
     dtype = jnp.float32
 
+    # enter real-synchronization mode (see MEASUREMENT DISCIPLINE): without
+    # this first value read, block_until_ready doesn't actually wait on the
+    # tunneled backend and every timing would be an async-enqueue illusion
+    _ = float(jnp.zeros((), dtype) + 1.0)
+
     if all(os.path.exists(p) for p in REF_PCDS):
         log("using reference benchmark PCDs")
         tgt_xyz, tgt_i = load_pcd(REF_PCDS[0])
@@ -137,47 +152,86 @@ def main():
     vmap_t.keys.block_until_ready()
     init_T = jnp.eye(4, dtype=dtype)
 
-    # warmup/compile (NO value fetches here — see module docstring)
+    # warmup/compile
     res = ndt_align_with_map(source, vmap_t, init_T, cfg)
     res.T.block_until_ready()
 
-    # headline: synchronous single-align latency (block every call, median of
-    # 20 — the reference times exactly one blocking align)
-    sync_times = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        res = ndt_align_with_map(source, vmap_t, init_T, cfg)
-        res.T.block_until_ready()
-        sync_times.append((time.perf_counter() - t0) * 1000.0)
-    ndt_ms = float(np.median(sync_times))
+    def chain_ms(make_step, x0, n_inner=10, reps=3):
+        """Per-iteration time of `make_step` chained inside one fori_loop —
+        device compute with the tunnel dispatch amortized away."""
 
-    # pipelined throughput (async dispatch, one final block)
-    t0 = time.perf_counter()
-    for _ in range(100):
-        res = ndt_align_with_map(source, vmap_t, init_T, cfg)
-    res.T.block_until_ready()
-    ndt_pipe_ms = (time.perf_counter() - t0) / 100 * 1000.0
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, n_inner, lambda i, v: make_step(v), x)
+
+        out = run(x0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(x0)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (reps * n_inner) * 1000.0
+
+    def percall_ms(fn, n=10):
+        out = fn()
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        return float(np.median(ts))
+
+    # headline: in-program per-align time (chained; identical iterations per
+    # align since the init stays eye — the loop dependency is value-neutral)
+    def ndt_step(T):
+        r = ndt_align_with_map(source, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg)
+        return r.T
+
+    ndt_ms = chain_ms(ndt_step, init_T, n_inner=10)
+    # per-dispatch sync latency (includes the tunnel round trip)
+    ndt_sync_ms = percall_ms(lambda: ndt_align_with_map(source, vmap_t, init_T, cfg).T)
 
     # DIRECT1 (reference's fastest published config: 34.6 ms 1t / 17.2 ms 8t)
     cfg1 = cfg._replace(neighborhood="direct1")
-    r1 = ndt_align_with_map(source, vmap_t, init_T, cfg1)
-    r1.T.block_until_ready()
-    d1_times = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        r1 = ndt_align_with_map(source, vmap_t, init_T, cfg1)
-        r1.T.block_until_ready()
-        d1_times.append((time.perf_counter() - t0) * 1000.0)
-    ndt1_ms = float(np.median(d1_times))
+
+    def ndt1_step(T):
+        r = ndt_align_with_map(source, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg1)
+        return r.T
+
+    ndt1_ms = chain_ms(ndt1_step, init_T, n_inner=10)
 
     # voxel-map build (the reference's setInputTarget cost, untimed there)
-    b_times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        vm = build_voxel_map(target, cfg)
-        vm.keys.block_until_ready()
-        b_times.append((time.perf_counter() - t0) * 1000.0)
-    build_ms = float(np.median(b_times))
+    def build_step(x):
+        vm = build_voxel_map(target._replace(xyz=target.xyz * (1.0 + 0.0 * x[0, 0])), cfg)
+        return vm.means[:4, :3]
+
+    build_ms = chain_ms(build_step, jnp.zeros((4, 3), dtype), n_inner=10)
+
+    # batched aligns (vmapped): the TPU's native operating point — the
+    # reference runs ONE align per core; the chip runs a whole batch of
+    # independent registrations (multi-robot / multi-candidate / particle
+    # use) in lockstep. Throughput metric: full-pair aligns per second.
+    B_NDT = 8
+    keysrc = jax.random.split(jax.random.PRNGKey(1), B_NDT)
+    jitters = jax.vmap(
+        lambda k: jax.random.normal(k, (3,), dtype) * 0.05
+    )(keysrc)
+    srcs = jax.vmap(
+        lambda j: source._replace(xyz=source.xyz + j[None, :])
+    )(jitters)
+
+    def ndt_batch_step(T):
+        Ts = jax.vmap(
+            lambda s: ndt_align_with_map(
+                s, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg
+            ).T
+        )(srcs)
+        return Ts[0]
+
+    ndt_batch_ms = chain_ms(ndt_batch_step, init_T, n_inner=5, reps=2)
+    ndt_batch_per_s = B_NDT / (ndt_batch_ms / 1000.0)
 
     # quality numbers — computed on device, FETCHED ONLY AT THE END
     from gorio_tpu.registration.gicp import fitness_score
@@ -226,11 +280,14 @@ def main():
     log(
         f"fitness: {float(fit_dev):.4f} (identity: {float(fit0_dev):.4f}, ref 0.214205)"
     )
-    log(f"ndt direct7 align (sync): {ndt_ms:.3f} ms (ref 1-thread {REF_MS_DIRECT7_1T} ms, "
-        f"8-thread 63.1 ms)")
-    log(f"ndt direct7 align (pipelined): {ndt_pipe_ms:.3f} ms")
-    log(f"ndt direct1 align (sync): {ndt1_ms:.3f} ms (ref 34.6 ms 1t / 17.2 ms 8t)")
-    log(f"voxel map build (sync): {build_ms:.3f} ms")
+    log(f"ndt direct7 align (in-program): {ndt_ms:.3f} ms (ref 1-thread "
+        f"{REF_MS_DIRECT7_1T} ms, 8-thread 63.1 ms)")
+    log(f"ndt direct7 align (per-dispatch sync incl tunnel): {ndt_sync_ms:.3f} ms")
+    log(f"ndt direct1 align (in-program): {ndt1_ms:.3f} ms (ref 34.6 ms 1t / 17.2 ms 8t)")
+    log(f"voxel map build (in-program): {build_ms:.3f} ms")
+    log(f"batched ndt direct7: {ndt_batch_per_s:.1f} full-pair aligns/s "
+        f"(vmap x{8}, {ndt_batch_ms:.1f} ms/batch; ref 1 align per "
+        f"{REF_MS_DIRECT7_1T:.0f} ms core = 7.2/s)")
     log(
         f"known-pose recovery (ndt, perturbed ref pair): "
         f"{float(known_trans_err)*100:.2f} cm / "
@@ -247,6 +304,8 @@ def main():
                 "value": round(ndt_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(REF_MS_DIRECT7_1T / ndt_ms, 3),
+                "sync_ms": round(ndt_sync_ms, 3),
+                "batched_aligns_per_s": round(ndt_batch_per_s, 2),
                 "fitness": round(float(fit_dev), 6),
                 "fitness_identity": round(float(fit0_dev), 6),
                 "fitness_ref": 0.214205,
@@ -277,65 +336,45 @@ def secondary(log):
     dtype = jnp.float32
 
     # APDGICP pair align (radar-scale 4096-pt clouds; overlapping views of the
-    # same scene, like consecutive scans)
+    # same scene, like consecutive scans) — chained in-program (the per-call
+    # number would be tunnel-dispatch-dominated)
     tgt = random_cloud(jax.random.PRNGKey(0), 4096, capacity=4096, dtype=dtype)
     shift = jnp.asarray([0.4, 0.15, 0.02], dtype)
     src = tgt._replace(xyz=jnp.where(tgt.mask[:, None], tgt.xyz + shift, tgt.xyz))
     cfg = GICPConfig()
+    eyeT = jnp.eye(4, dtype=dtype)
+
+    def apd_step(T):
+        r = gicp_align(src, tgt, init_T=eyeT * (1.0 + 0.0 * T[0, 0]), cfg=cfg)
+        return r.T
+
+    @jax.jit
+    def apd_chain(T0):
+        return jax.lax.fori_loop(0, 10, lambda i, T: apd_step(T), T0)
+
+    out = apd_chain(eyeT)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = apd_chain(eyeT)
+    out.block_until_ready()
+    apd_ms = (time.perf_counter() - t0) / 30 * 1000
     r = gicp_align(src, tgt, cfg=cfg)
-    r.T.block_until_ready()
-    ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        r = gicp_align(src, tgt, cfg=cfg)
-        r.T.block_until_ready()
-        ts.append((time.perf_counter() - t0) * 1000)
-    apd_iters = r.iterations  # device array; fetched only in the deferred line
+    apd_iters = r.iterations  # fetched only in the deferred line
     lines.append(
-        lambda: f"apdgicp 4096-pt align (sync): {np.median(ts):.3f} ms "
+        lambda: f"apdgicp 4096-pt align (in-program): {apd_ms:.3f} ms "
         f"({int(apd_iters)} LM iterations)"
     )
+    extras["apdgicp_align_ms"] = apd_ms
 
-    # GICP kernel-time breakdown (SURVEY §7.3 / VERDICT r2 weak #7): how much
-    # of one LM iteration is the Pallas NN kernel vs everything else (APD
-    # covariances, Mahalanobis, H/b einsum reduction — plain XLA). If NN
-    # dominates, a further fused residual+Jacobian+reduction Pallas kernel
-    # has no headroom; the measured split is printed so the claim is a
-    # number, not an assertion.
+    # IN-PROGRAM NN/linearize split (VERDICT r3 item 2): chaining inside ONE
+    # jitted fori_loop (loop-carried dependency defeats CSE/hoisting) times
+    # the *compute*, which is what the fused-kernel decision hinges on.
     from gorio_tpu.ops.nn_pallas import nn1_best
-
-    nn_jit = jax.jit(lambda a, b, m: nn1_best(a, b, ref_mask=m)[1])
-    d2 = nn_jit(src.xyz, tgt.xyz, tgt.mask)
-    d2.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(50):
-        d2 = nn_jit(src.xyz, tgt.xyz, tgt.mask)
-    d2.block_until_ready()
-    nn_ms = (time.perf_counter() - t0) / 50 * 1000
     from gorio_tpu.registration.gicp import make_gicp_callbacks, prepare_gicp
 
     prob = prepare_gicp(src, tgt, cfg)
     linearize, _ = make_gicp_callbacks(prob, cfg)
-    lin_jit = jax.jit(lambda T: linearize(T)[1])
-    eyeT = jnp.eye(4, dtype=dtype)
-    H = lin_jit(eyeT)
-    H.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(50):
-        H = lin_jit(eyeT)
-    H.block_until_ready()
-    lin_ms = (time.perf_counter() - t0) / 50 * 1000
-    lines.append(
-        f"gicp linearize breakdown (per-dispatch): NN kernel {nn_ms:.3f} ms / full "
-        f"linearize {lin_ms:.3f} ms ({100 * nn_ms / max(lin_ms, 1e-9):.0f}% NN)"
-    )
-
-    # IN-PROGRAM split (VERDICT r3 item 2): the per-dispatch numbers above
-    # are dominated by tunnel dispatch overhead on a remote TPU (each timed
-    # piece is its own sync round trip). Chaining N iterations inside ONE
-    # jitted fori_loop (loop-carried dependency defeats CSE/hoisting) and
-    # dividing times the *compute*, which is what the fused-Pallas-kernel
-    # decision (SURVEY §7.3) actually hinges on.
     N_CHAIN = 50
 
     @jax.jit
@@ -525,24 +564,35 @@ def secondary(log):
             gg.add_between(int(i0), int(j0), np.linalg.inv(Ts2[i0]) @ Ts2[j0],
                            info=np.eye(6) * 50.0, robust_delta=1.0)
         poses_g, gdata_g = gg.freeze(as_numpy=True)
+        poses_dev = jnp.asarray(poses_g, dtype)
         # exact tridiag+Woodbury direct solve (graph/sparse.py): 10 LM
-        # iterations reach chi2 ~1e-2 on this chain+loops problem on chip
+        # iterations reach chi2 ~1e-2 on this chain+loops problem on chip.
+        # Chained in-program (solve feeding the next solve's input) so the
+        # reported time is compute, not tunnel dispatch.
         scfg = SolveConfig(max_iterations=10, solver="direct", loop_capacity=64)
-        rs = optimize_graph_sparse(jnp.asarray(poses_g, dtype), gdata_g, scfg)
-        rs.poses.block_until_ready()
-        gts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            rs = optimize_graph_sparse(jnp.asarray(poses_g, dtype), gdata_g, scfg)
-            rs.poses.block_until_ready()
-            gts.append((time.perf_counter() - t0) * 1000)
-        g_ms = float(np.median(gts))
+
+        @jax.jit
+        def g_chain(p0):
+            def body(i, p):
+                rs = optimize_graph_sparse(p, gdata_g, scfg)
+                return p * (1.0 + 0.0 * rs.poses[0, 0, 0])
+
+            return jax.lax.fori_loop(0, 5, body, p0)
+
+        out = g_chain(poses_dev)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = g_chain(poses_dev)
+        out.block_until_ready()
+        g_ms = (time.perf_counter() - t0) / 10 * 1000
+        rs = optimize_graph_sparse(poses_dev, gdata_g, scfg)
         it_dev = rs.iterations
         chi2_dev = rs.chi2
         lines.append(
             lambda g_ms=g_ms, Kg=Kg, it_dev=it_dev, chi2_dev=chi2_dev: (
-                f"pose-graph direct solve K={Kg} (+5% loops): {g_ms:.1f} ms warm "
-                f"({int(it_dev)} LM iters, chi2 {float(chi2_dev):.4f}; "
+                f"pose-graph direct solve K={Kg} (+5% loops): {g_ms:.1f} ms "
+                f"in-program ({int(it_dev)} LM iters, chi2 {float(chi2_dev):.4f}; "
                 f"g2o/CHOLMOD is ms-class)"
             )
         )

@@ -154,6 +154,45 @@ def _chain_upper_blocks(Hoff, fi, fj, K, dtype):
     return C[: K - 1]
 
 
+def _inv3c(M):
+    """Closed-form batched 3x3 inverse (adjugate / det) — no LU custom call."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cq = d * h - e * g
+    det = a * A + b * B + c * Cq
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    r0 = jnp.stack([A, -(b * i - c * h), (b * f - c * e)], -1)
+    r1 = jnp.stack([B, (a * i - c * g), -(a * f - c * d)], -1)
+    r2 = jnp.stack([Cq, -(a * h - b * g), (a * e - b * d)], -1)
+    return jnp.stack([r0, r1, r2], -2) * inv_det[..., None, None]
+
+
+def inv6_spd(M):
+    """Closed-form batched inverse of an SPD 6x6 via the 3x3-block Schur
+    complement — pure fused arithmetic instead of TPU LU (jnp.linalg.inv's
+    getrf custom call runs a slow sequential panel loop, which dominates the
+    block-Thomas scans)."""
+    P = M[..., :3, :3]
+    Q = M[..., :3, 3:]
+    S = M[..., 3:, 3:]
+    Pinv = _inv3c(P)
+    PinvQ = Pinv @ Q
+    Sc = S - jnp.swapaxes(Q, -1, -2) @ PinvQ
+    Scinv = _inv3c(Sc)
+    TR = -PinvQ @ Scinv
+    TL = Pinv - TR @ jnp.swapaxes(PinvQ, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Scinv], axis=-1)
+    X = jnp.concatenate([top, bot], axis=-2)
+    # one Newton-Schulz step squares the residual of the adjugate-based
+    # inverse (mixed info scales: anchor priors at 1e6 vs edges at 1e1)
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=M.dtype), X.shape)
+    return X @ (2.0 * eye - M @ X)
+
+
 def block_tridiag_factor(A, C):
     """Block-Thomas factorization of the SPD block tridiagonal (A_k, C_k):
     returns Dinv (K,6,6) with D_0 = A_0,
@@ -162,10 +201,10 @@ def block_tridiag_factor(A, C):
     def step(Dinv_prev, inputs):
         Ak, Ck_prev = inputs
         Dk = Ak - Ck_prev.T @ Dinv_prev @ Ck_prev
-        Dinv = jnp.linalg.inv(Dk)
+        Dinv = inv6_spd(Dk)
         return Dinv, Dinv
 
-    Dinv0 = jnp.linalg.inv(A[0])
+    Dinv0 = inv6_spd(A[0])
     _, Dinvs = jax.lax.scan(step, Dinv0, (A[1:], C))
     return jnp.concatenate([Dinv0[None], Dinvs])
 
@@ -197,6 +236,145 @@ def block_tridiag_solve(Dinv, C, b):
 
 
 # ---------------------------------------------------------------------------
+# SPIKE partitioned block-tridiagonal solve (parallel-in-K)
+# ---------------------------------------------------------------------------
+#
+# The block-Thomas recurrences above are K-sequential — at K~1000 the scan
+# latency (~6 us/step on a TPU core) dominates the whole LM iteration. The
+# SPIKE scheme partitions the chain into S groups of m rows, factorizes and
+# solves every group's interior tridiagonal IN PARALLEL (one vmapped m-step
+# scan instead of a K-step scan), couples the groups through a reduced
+# block-tridiagonal system over the 2S interface unknowns (each group's
+# first/last rows), and back-substitutes in parallel: sequential depth
+# ~2m + S instead of ~2K.
+
+
+def _inv6_gen(M):
+    """Closed-form general 6x6 inverse (3x3-block Schur, no pivoting — the
+    SPIKE interface blocks are near-identity, far from needing pivots)."""
+    P = M[..., :3, :3]
+    Q = M[..., :3, 3:]
+    Rb = M[..., 3:, :3]
+    S = M[..., 3:, 3:]
+    Pinv = _inv3c(P)
+    PinvQ = Pinv @ Q
+    Sc = S - Rb @ PinvQ
+    Scinv = _inv3c(Sc)
+    TR = -PinvQ @ Scinv
+    BL = -Scinv @ (Rb @ Pinv)
+    TL = Pinv - PinvQ @ BL
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Scinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _inv12_gen(M):
+    """Closed-form general 12x12 inverse via 6x6-block Schur on `_inv6_gen`."""
+    P = M[..., :6, :6]
+    Q = M[..., :6, 6:]
+    Rb = M[..., 6:, :6]
+    S = M[..., 6:, 6:]
+    Pinv = _inv6_gen(P)
+    PinvQ = Pinv @ Q
+    Sc = S - Rb @ PinvQ
+    Scinv = _inv6_gen(Sc)
+    TR = -PinvQ @ Scinv
+    BL = -Scinv @ (Rb @ Pinv)
+    TL = Pinv - PinvQ @ BL
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Scinv], axis=-1)
+    X = jnp.concatenate([top, bot], axis=-2)
+    eye = jnp.broadcast_to(jnp.eye(12, dtype=M.dtype), X.shape)
+    return X @ (2.0 * eye - M @ X)
+
+
+def _general_block_tridiag_solve(M, L, U, h):
+    """Non-symmetric block-tridiagonal solve (LU-Thomas): block rows
+    M_s u_s + L_s u_{s-1} + U_s u_{s+1} = h_s. M/L/U (S,d,d), h (S,d,R)."""
+
+    def fwd(carry, inputs):
+        G_prev, y_prev = carry
+        Ms, Ls, Us, hs = inputs
+        D = Ms - Ls @ G_prev
+        Dinv = _inv12_gen(D)
+        G = Dinv @ Us
+        y = Dinv @ (hs - Ls @ y_prev)
+        return (G, y), (G, y)
+
+    D0inv = _inv12_gen(M[0])
+    G0 = D0inv @ U[0]
+    y0 = D0inv @ h[0]
+    _, (Gs, ys) = jax.lax.scan(fwd, (G0, y0), (M[1:], L[1:], U[1:], h[1:]))
+    G = jnp.concatenate([G0[None], Gs])
+    y = jnp.concatenate([y0[None], ys])
+
+    def bwd(x_next, inputs):
+        Gs_, ys_ = inputs
+        x = ys_ - Gs_ @ x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, y[-1], (G[:-1], y[:-1]), reverse=True)
+    return jnp.concatenate([xs, y[-1][None]])
+
+
+def solve_block_tridiag_spike(A, C, b, m=32):
+    """Exact solve of the SPD block tridiagonal (A (K,6,6), C (K-1,6,6))
+    against b (K,6,R), partitioned into K//m groups. Requires m | K and
+    K >= 2m; callers fall back to the sequential Thomas otherwise."""
+    K = A.shape[0]
+    R = b.shape[-1]
+    dtype = A.dtype
+    S = K // m
+    Ag = A.reshape(S, m, 6, 6)
+    # within-group couplings C[s*m + j], j = 0..m-2; interface C[s*m - 1]
+    Cpad = jnp.concatenate([C, jnp.zeros((1, 6, 6), dtype)])  # (K, 6, 6)
+    Cg = Cpad.reshape(S, m, 6, 6)
+    Cg_int = Cg[:, : m - 1]
+    Cint = Cg[: S - 1, m - 1]  # (S-1, 6, 6): couples group s row m-1 to s+1 row 0
+
+    Dinv_g = jax.vmap(block_tridiag_factor)(Ag, Cg_int)
+
+    # per-group RHS block: [b | spike V (6 cols) | spike W (6 cols)]
+    eye6 = jnp.eye(6, dtype=dtype)
+    rhs = jnp.zeros((S, m, 6, R + 12), dtype)
+    rhs = rhs.at[:, :, :, :R].set(b.reshape(S, m, 6, R))
+    # V_s = D_s^-1 e_{m-1} Cint[s]   (coupling to group s+1's first row)
+    rhs = rhs.at[: S - 1, m - 1, :, R : R + 6].set(Cint)
+    # W_s = D_s^-1 e_0 Cint[s-1]^T   (coupling to group s-1's last row)
+    rhs = rhs.at[1:, 0, :, R + 6 :].set(jnp.swapaxes(Cint, 1, 2))
+
+    sol = jax.vmap(block_tridiag_solve)(Dinv_g, Cg_int, rhs)  # (S, m, 6, R+12)
+    g = sol[:, :, :, :R]
+    V = sol[:, :, :, R : R + 6]
+    W = sol[:, :, :, R + 6 :]
+
+    # reduced system over u_s = (x_{s,0}, x_{s,m-1}) (12-blocks):
+    #   u_s + L_s u_{s-1} + U_s u_{s+1} = h_s
+    # with L_s = [[0, W_s[0]], [0, W_s[m-1]]], U_s = [[V_s[0], 0],
+    # [V_s[m-1], 0]] (W_0 = 0, V_{S-1} = 0 already by construction).
+    z2 = jnp.zeros((S, 6, 6), dtype)
+    Lred = jnp.concatenate(
+        [jnp.concatenate([z2, W[:, 0]], -1), jnp.concatenate([z2, W[:, m - 1]], -1)], -2
+    )
+    Ured = jnp.concatenate(
+        [jnp.concatenate([V[:, 0], z2], -1), jnp.concatenate([V[:, m - 1], z2], -1)], -2
+    )
+    Mred = jnp.broadcast_to(jnp.eye(12, dtype=dtype), (S, 12, 12))
+    hred = jnp.concatenate([g[:, 0], g[:, m - 1]], -2)  # (S, 12, R)
+    u = _general_block_tridiag_solve(Mred, Lred, Ured, hred)  # (S, 12, R)
+    y = u[:, :6]  # x_{s,0}
+    z = u[:, 6:]  # x_{s,m-1}
+
+    # parallel back-substitution: x_s = g_s - V_s y_{s+1} - W_s z_{s-1}
+    y_next = jnp.concatenate([y[1:], jnp.zeros((1, 6, R), dtype)])
+    z_prev = jnp.concatenate([jnp.zeros((1, 6, R), dtype), z[: S - 1]])
+    x = g - jnp.einsum("smij,sjr->smir", V, y_next) - jnp.einsum(
+        "smij,sjr->smir", W, z_prev
+    )
+    return x.reshape(K, 6, R)
+
+
+# ---------------------------------------------------------------------------
 # Exact direct solve: block-tridiagonal + Woodbury loop-closure correction
 # ---------------------------------------------------------------------------
 #
@@ -214,49 +392,83 @@ def block_tridiag_solve(Dinv, C, b):
 # Cholesky on a chain-plus-loops sparsity pattern.
 
 
-def solve_tridiag_woodbury(A, C, Hoff, fi, fj, mask, b, loop_capacity):
-    """Exact solve of (T + loop blocks) x = b.
+def solve_tridiag_woodbury(A, C, poses, between, b, loop_capacity):
+    """Exact solve of H x = b where H = A/C's block tridiagonal + the L
+    non-adjacent ("loop") between edges.
 
-    A (K,6,6) damped diagonal blocks, C (K-1,6,6) chain off-diagonals,
-    Hoff/fi/fj/mask the per-edge off-diagonal blocks, b (K,6).
-    `loop_capacity` is the static bound on non-adjacent edges; excess loop
-    edges fall back into... nothing — callers must size it (the builders
-    track the loop count host-side)."""
+    The loop edges enter in PSD form: each edge's FULL whitened contribution
+    is g_e^T g_e with g_e = sqrt(w_e) [S_e J_i | S_e J_j] (6 rows), so
+    H = T' + G^T G with T' = the tridiagonal MINUS the loop edges' diagonal
+    blocks. Woodbury then needs the SPD capacitance I + G T'^-1 G^T — a
+    (6L)^2 CHOLESKY instead of the (12L)^2 LU of the indefinite off-diagonal
+    formulation (TPU LU is sequential-panel slow; Cholesky at half dimension
+    is ~10x cheaper), and half the multi-RHS width through the tridiagonal
+    solve.
+
+    A (K,6,6) damped diagonal blocks (INCLUDING loop-edge diagonal
+    contributions — they are subtracted here), C (K-1,6,6) chain
+    off-diagonals, `poses`/`between` the current linearization state,
+    b (K,6). `loop_capacity` is the static bound on loop edges; callers size
+    it from the live loop count."""
+    from .factors import BetweenFactors
+
     K = b.shape[0]
     dtype = b.dtype
     Lcap = loop_capacity
-    is_loop = mask & (fj != fi + 1) & (fi != fj + 1)
+    fi = jnp.asarray(between.i)
+    fj = jnp.asarray(between.j)
+    is_loop = jnp.asarray(between.mask) & (fj != fi + 1) & (fi != fj + 1)
     (sel,) = jnp.nonzero(is_loop, size=Lcap, fill_value=0)
-    lw = is_loop[sel].astype(dtype)
+    lmask = is_loop[sel]
     li = fi[sel]
     lj = fj[sel]
-    Hl = Hoff[sel] * lw[:, None, None]  # (L, 6, 6); padding rows zero
 
-    Dinv = block_tridiag_factor(A, C)
-    R = 12 * Lcap
-    # RHS block: [b | U] — U's identity blocks scattered at rows li / lj
-    eyes = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (Lcap, 6, 6))
+    # recompute the selected edges' whitened Jacobians (vmapped; O(Lcap))
+    r, Ji, Jj = _family_terms(poses, None, BetweenFactors.residual, unary=False)(
+        li, lj, between.T_meas[sel]
+    )
+    sq = between.sqrt_info[sel]
+    rw, w, _ = _weighted(r, sq, between.robust_delta[sel], lmask)
+    sw = jnp.sqrt(w)[:, None, None]
+    Giw = sw * jnp.einsum("eij,ejk->eik", sq, Ji)  # (L, 6, 6) rows of g_e at col li
+    Gjw = sw * jnp.einsum("eij,ejk->eik", sq, Jj)
+
+    # T' = tridiagonal minus the loop edges' diagonal contributions
+    A = A.at[li].add(-jnp.einsum("eji,ejk->eik", Giw, Giw))
+    A = A.at[lj].add(-jnp.einsum("eji,ejk->eik", Gjw, Gjw))
+
+    R = 6 * Lcap
+    # RHS block: [b | G^T] — G^T columns live at rows li (Giw^T) and lj (Gjw^T)
     rows6 = jnp.arange(6)
-    cols = 1 + 12 * jnp.arange(Lcap)[:, None, None] + rows6[None, None, :]
+    cols = 1 + 6 * jnp.arange(Lcap)[:, None, None] + rows6[None, None, :]
     rhs = jnp.zeros((K, 6, 1 + R), dtype)
     rhs = rhs.at[:, :, 0].set(b)
-    rhs = rhs.at[li[:, None, None], rows6[None, :, None], cols].add(eyes)
-    rhs = rhs.at[lj[:, None, None], rows6[None, :, None], cols + 6].add(eyes)
+    rhs = rhs.at[li[:, None, None], rows6[None, :, None], cols].add(
+        jnp.swapaxes(Giw, 1, 2)
+    )
+    rhs = rhs.at[lj[:, None, None], rows6[None, :, None], cols].add(
+        jnp.swapaxes(Gjw, 1, 2)
+    )
 
-    sol = block_tridiag_solve(Dinv, C, rhs)  # (K, 6, 1+R)
+    if K % 32 == 0 and K >= 64:
+        # parallel-in-K partitioned solve (sequential depth ~2m+S, not ~2K)
+        sol = solve_block_tridiag_spike(A, C, rhs, m=32)
+    else:
+        Dinv = block_tridiag_factor(A, C)
+        sol = block_tridiag_solve(Dinv, C, rhs)  # (K, 6, 1+R)
     x0 = sol[:, :, 0]
-    Y = sol[:, :, 1:]  # (K, 6, R) = T^-1 U
+    Y = sol[:, :, 1:]  # (K, 6, R) = T'^-1 G^T
 
-    def W_apply(V):  # V (R, n) -> W V
-        Vb = V.reshape(Lcap, 12, -1)
-        wi = jnp.einsum("eij,ejn->ein", Hl, Vb[:, 6:])
-        wj = jnp.einsum("eji,ejn->ein", Hl, Vb[:, :6])
-        return jnp.concatenate([wi, wj], axis=1).reshape(R, -1)
+    def G_apply(V):  # V (K, 6, n) -> G V (L, 6, n) -> (R, n)
+        return (
+            jnp.einsum("eij,ejn->ein", Giw, V[li]) +
+            jnp.einsum("eij,ejn->ein", Gjw, V[lj])
+        ).reshape(R, -1)
 
-    UtY = jnp.concatenate([Y[li], Y[lj]], axis=1).reshape(R, R)
-    Utx0 = jnp.concatenate([x0[li], x0[lj]], axis=1).reshape(R, 1)
-    M = jnp.eye(R, dtype=dtype) + W_apply(UtY)
-    z = jnp.linalg.solve(M, W_apply(Utx0))  # (R, 1)
+    cap = jnp.eye(R, dtype=dtype) + G_apply(Y)  # SPD capacitance
+    Gx0 = G_apply(x0[:, :, None])  # (R, 1)
+    Lc = jnp.linalg.cholesky(cap)
+    z = jax.scipy.linalg.cho_solve((Lc, True), Gx0)
     return x0 - jnp.einsum("kir,r->ki", Y, z[:, 0])
 
 
@@ -294,12 +506,18 @@ def optimize_graph_sparse(
             b = b.at[0].set(0.0)
         return Hdiag, Hoff, b, chi2
 
-    def solve(Hdiag, Hoff, b, lam):
+    def solve(poses, Hdiag, Hoff, b, lam):
         A = _damped(Hdiag, lam)
         C = _chain_upper_blocks(Hoff, f.i, f.j, K, dtype)
         if cfg.solver == "direct":
+            # under fix_first an edge touching pose 0 degenerates to a diag
+            # contribution at its free endpoint (already inside A): exclude
+            # it from the low-rank correction
+            fw = f if not cfg.fix_first else f._replace(
+                mask=f.mask & (f.i != 0) & (f.j != 0)
+            )
             return solve_tridiag_woodbury(
-                A, C, Hoff, f.i, f.j, f.mask, -b, cfg.loop_capacity
+                A, C, poses, fw, -b, cfg.loop_capacity
             )
         Dinv = block_tridiag_factor(A, C)
 
@@ -317,7 +535,7 @@ def optimize_graph_sparse(
     def body(state):
         poses, lam, chi2_prev, it, done, Hd_last = state
         Hdiag, Hoff, b, chi2 = lin(poses)
-        delta = solve(Hdiag, Hoff, b, lam)
+        delta = solve(poses, Hdiag, Hoff, b, lam)
         if cfg.fix_first:
             delta = delta.at[0].set(0.0)
         poses_new = jax.vmap(retract)(poses, delta)

@@ -73,13 +73,19 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _sc_match_batch(db: "ScanContextDB", idxs, cfg: ScanContextConfig):
-    """vmapped `detect_loop`: keyframe i may only match descriptors < i."""
+def _sc_match_batch(db: "ScanContextDB", idxs, cfg: ScanContextConfig, masks=None):
+    """vmapped `detect_loop`: keyframe i may only match descriptors < i.
+    `masks` (B, capacity) restricts each query to its pre-gated candidates
+    (see `detect_loop`'s cand_mask)."""
 
-    def one(i):
-        return detect_loop(db._replace(count=i.astype(jnp.int32)), db.descs[i], cfg)
+    def one(i, mk):
+        return detect_loop(
+            db._replace(count=i.astype(jnp.int32)), db.descs[i], cfg, cand_mask=mk
+        )
 
-    return jax.vmap(one)(idxs)
+    if masks is None:
+        return jax.vmap(lambda i: one(i, None))(idxs)
+    return jax.vmap(one)(idxs, masks)
 
 
 @partial(jax.jit, static_argnames=("gicp_cfg", "coarse_cfg", "info_cfg"))
@@ -245,10 +251,37 @@ class LoopDetector:
             return None
 
         desc = self.db.descs[new_index]
-        # restrict eligibility to gated candidates by masking ring keys: we run
-        # SC detection first (cheap), then re-check the gates for the match
+        # eligibility gates applied INSIDE the ring-key search (see
+        # `detect_loop`): vectorized `find_candidates` over every old
+        # keyframe, so SC returns the best GATED candidate instead of a
+        # global match that may be ineligible (r4 recall fix)
+        alts = keyframe_altitudes
+        yaw_new = np.arctan2(poses[new_index][1, 0], poses[new_index][0, 0])
+        yaws = np.arctan2(poses[: new_index, 1, 0], poses[: new_index, 0, 0])
+        diff = poses[: new_index, :3, 3] - poses[new_index][:3, 3][None, :]
+        accum_d = new_accum - accum[:new_index]
+        mask = accum_d > cfg.accum_distance_thresh
+        if alts is not None and alts[new_index] is not None:
+            old_alts = np.array(
+                [np.nan if a is None else float(a) for a in alts[:new_index]]
+            )
+            mask &= ~(np.abs(old_alts - float(alts[new_index])) > cfg.max_baro_difference)
+        yaw_diff = np.abs((yaw_new - yaws + np.pi) % (2 * np.pi) - np.pi)
+        mask &= np.rad2deg(yaw_diff) < cfg.max_yaw_difference_deg
+        rad_lle = 3.0 + dist_since * cfg.odom_drift_xy * cfg.drift_scale_xy
+        mask &= (diff[:, 0] / rad_lle) ** 2 + (diff[:, 1] / rad_lle) ** 2 <= 1.0
+        rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
+        mask &= (diff[:, 0] / rad_xy) ** 2 + (diff[:, 1] / rad_xy) ** 2 <= 1.0
+        if not mask.any():
+            self._count("no_eligible_candidate")
+            return None
+        cap = self.db.descs.shape[0]
+        full_mask = np.zeros(cap, bool)
+        full_mask[: new_index] = mask
+
         match, yaw, sc_dist = detect_loop(
-            self.db._replace(count=jnp.asarray(new_index, jnp.int32)), desc, self.sc_cfg
+            self.db._replace(count=jnp.asarray(new_index, jnp.int32)), desc,
+            self.sc_cfg, cand_mask=jnp.asarray(full_mask),
         )
         match = int(match)
         if match < 0:
@@ -256,16 +289,14 @@ class LoopDetector:
                 "sc_distance" if np.isfinite(float(sc_dist)) else "sc_no_candidate"
             )
             return None
-        yaw_new = np.arctan2(poses[new_index][1, 0], poses[new_index][0, 0])
-        yaw_old = np.arctan2(poses[match][1, 0], poses[match][0, 0])
-        alts = keyframe_altitudes
+        yaw_old = float(yaws[match])
         reason = candidate_gate_reason(
             poses[new_index][:3, 3], yaw_new, new_accum,
             poses[match][:3, 3], yaw_old, accum[match], dist_since, cfg,
             new_alt=None if alts is None else alts[new_index],
             old_alt=None if alts is None else alts[match],
         )
-        if reason:
+        if reason:  # defense in depth: the mask already enforced these
             self._count(reason)
             return None
 
@@ -363,14 +394,76 @@ class LoopDetector:
         accum = np.asarray(keyframe_accum)
         idxs = np.asarray(new_indices, np.int32)
 
-        # ---- stage 1: SC matching for all new keyframes (one dispatch).
+        # ---- stage 1: SC matching for all new keyframes. Two batched
+        # dispatches: the reference-parity GLOBAL search, plus a GATED search
+        # with the `find_candidates` gates applied inside the ring-key
+        # masking. The global match is preferred (it is the descriptor-
+        # strongest and behaves exactly like the reference); the gated match
+        # is a FALLBACK used only when the global match is ineligible —
+        # recovering the revisits the reference loses to gate shadowing
+        # without ever displacing a strong eligible match (an earlier r4
+        # variant that always took the best gated candidate let weak
+        # first loops in, poisoning the pairwise-consistency chain).
         # Pad the batch to a power of two so batch-size changes don't recompile
         n_new = len(idxs)
         pad_n = max(4, 1 << (n_new - 1).bit_length())
         idxs_p = np.concatenate([idxs, np.full(pad_n - n_new, idxs[-1], np.int32)])
-        matches, yaws, dists = _sc_match_batch(self.db, jnp.asarray(idxs_p), self.sc_cfg)
-        dists = np.asarray(dists)[:n_new]
-        matches = np.asarray(matches)[:n_new]
+        yaw_all = np.arctan2(poses[:, 1, 0], poses[:, 0, 0])
+        cap = self.db.descs.shape[0]
+        masks = np.zeros((pad_n, cap), bool)
+        alts = keyframe_altitudes
+        for k, i in enumerate(idxs_p):
+            i = int(i)
+            accum_d = accum[i] - accum[:i]
+            mk = accum_d > cfg.accum_distance_thresh
+            if alts is not None and alts[i] is not None:
+                old_alts = np.array(
+                    [np.nan if a is None else float(a) for a in alts[:i]]
+                )
+                mk &= ~(np.abs(old_alts - float(alts[i])) > cfg.max_baro_difference)
+            yaw_diff = np.abs((yaw_all[i] - yaw_all[:i] + np.pi) % (2 * np.pi) - np.pi)
+            mk &= np.rad2deg(yaw_diff) < cfg.max_yaw_difference_deg
+            diff = poses[:i, :3, 3] - poses[i][:3, 3][None, :]
+            # batch-start dist_since upper-bounds the true value -> radius is
+            # a superset of the exact gate, which the accept chain re-runs
+            dist_since0 = accum[i] - self.last_loop_accum
+            rad_lle = 3.0 + dist_since0 * cfg.odom_drift_xy * cfg.drift_scale_xy
+            mk &= (diff[:, 0] / rad_lle) ** 2 + (diff[:, 1] / rad_lle) ** 2 <= 1.0
+            rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
+            mk &= (diff[:, 0] / rad_xy) ** 2 + (diff[:, 1] / rad_xy) ** 2 <= 1.0
+            masks[k, :i] = mk
+        matches_g, yaws_g, dists_g = _sc_match_batch(
+            self.db, jnp.asarray(idxs_p), self.sc_cfg
+        )
+        matches_m, yaws_m, dists_m = _sc_match_batch(
+            self.db, jnp.asarray(idxs_p), self.sc_cfg, masks=jnp.asarray(masks)
+        )
+        matches_g = np.asarray(matches_g)[:n_new]
+        yaws_g = np.asarray(yaws_g)[:n_new]
+        dists_g = np.asarray(dists_g)[:n_new]
+        matches_m = np.asarray(matches_m)[:n_new]
+        yaws_m = np.asarray(yaws_m)[:n_new]
+        dists_m = np.asarray(dists_m)[:n_new]
+        no_eligible = ~masks[:n_new].any(axis=1)
+
+        # per-entry selection: global match if it passes the gates, else the
+        # gated fallback (which passes them by construction)
+        matches = np.full(n_new, -1, np.int32)
+        yaws = yaws_g.copy()
+        dists = dists_g.copy()
+        used_fallback = np.zeros(n_new, bool)
+        for k, i in enumerate(idxs):
+            i = int(i)
+            mg = int(matches_g[k])
+            if mg >= 0 and masks[k, mg]:
+                matches[k] = mg
+                continue
+            if int(matches_m[k]) >= 0:
+                matches[k] = int(matches_m[k])
+                yaws[k] = yaws_m[k]
+                dists[k] = dists_m[k]
+                used_fallback[k] = True
+                self._count("gated_fallback_match")
 
         # ---- stage 2: host prefilter before the expensive verification.
         # Both gates are safe w.r.t. in-batch accepts: last_loop_accum only
@@ -379,14 +472,28 @@ class LoopDetector:
         # drift-ellipse radius grows with dist_since -> gating with the
         # batch-start value is a superset of the exact gate (which the accept
         # chain re-runs). Mirrors `find_candidates` (`loop_detector.cpp:139`).
-        yaw_all = np.arctan2(poses[:, 1, 0], poses[:, 0, 0])
         pairs = []
         for k, (i, m) in enumerate(zip(idxs, matches)):
             i, m = int(i), int(m)
             if m < 0:
-                self._count(
-                    "sc_distance" if np.isfinite(dists[k]) else "sc_no_candidate"
-                )
+                mg = int(matches_g[k])
+                if mg >= 0 and not masks[k, mg]:
+                    # the global match failed a gate and no gated candidate
+                    # cleared the SC threshold — attribute the gate
+                    dist_since0 = accum[i] - self.last_loop_accum
+                    reason = candidate_gate_reason(
+                        poses[i][:3, 3], yaw_all[i], accum[i],
+                        poses[mg][:3, 3], yaw_all[mg], accum[mg], dist_since0, cfg,
+                        new_alt=None if alts is None else alts[i],
+                        old_alt=None if alts is None else alts[mg],
+                    )
+                    self._count(reason or "gated_sc_distance")
+                elif no_eligible[k]:
+                    self._count("no_eligible_candidate")
+                else:
+                    self._count(
+                        "sc_distance" if np.isfinite(dists_g[k]) else "sc_no_candidate"
+                    )
                 continue
             dist_since0 = accum[i] - self.last_loop_accum
             if dist_since0 < cfg.min_loop_interval_dist:

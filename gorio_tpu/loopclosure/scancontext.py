@@ -143,17 +143,28 @@ class ScanContextDB(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def detect_loop(db: ScanContextDB, query_desc, cfg: ScanContextConfig = ScanContextConfig()):
+def detect_loop(db: ScanContextDB, query_desc, cfg: ScanContextConfig = ScanContextConfig(),
+                cand_mask=None):
     """Find the best loop candidate for `query_desc`.
 
     Parity: `detectLoopClosureID` (`Scancontext.cpp:272-374`): ring-key NN
     (batched L2 instead of kd-tree; always up to date, no 10-frame rebuild
     staleness), top `num_candidates`, shifted-cosine verification, threshold.
-    Returns (match_index (-1 if none), yaw_diff_rad, distance)."""
+    Returns (match_index (-1 if none), yaw_diff_rad, distance).
+
+    `cand_mask` (db capacity,) restricts the search to pre-gated candidates —
+    a deliberate improvement over the reference, whose SC search runs over
+    the whole history and then discards the single global match if it fails
+    a `find_candidates` gate (`loop_detector.cpp:139-189` + `:192-244`): with
+    the gates applied INSIDE the search, an ineligible global best no longer
+    shadows an eligible true revisit (measured r4: ~60% of candidate
+    rejections were exactly this shadowing)."""
     qk = ring_key(query_desc)
     n = db.ring_keys.shape[0]
     idxs = jnp.arange(n)
     eligible = idxs < jnp.maximum(db.count - cfg.num_exclude_recent, 0)
+    if cand_mask is not None:
+        eligible = eligible & cand_mask
     d2 = jnp.sum((db.ring_keys - qk[None, :]) ** 2, axis=-1)
     d2 = jnp.where(eligible, d2, jnp.inf)
     _, cand = jax.lax.top_k(-d2, cfg.num_candidates)

@@ -145,6 +145,12 @@ def build_voxel_map(cloud: PointCloud, cfg: NDTConfig = NDTConfig()) -> VoxelGau
     packed = packed.at[:, 6].set(inv_s[:, 1, 1])
     packed = packed.at[:, 7].set(inv_s[:, 1, 2])
     packed = packed.at[:, 8].set(inv_s[:, 2, 2])
+    # the voxel key in two float-exact halves (<= 2^15 each) + validity:
+    # correspondence verification then needs ONLY the packed-row gather
+    # (key match against the query subsumes the `valid`/`keys` gathers)
+    key_chk = jnp.where(valid_sorted, keys_sorted, _SENTINEL)
+    packed = packed.at[:, 9].set((key_chk >> 15).astype(dtype))
+    packed = packed.at[:, 10].set((key_chk & 0x7FFF).astype(dtype))
     return VoxelGaussianMap(
         keys=keys_sorted,
         means=means_s,
@@ -254,25 +260,61 @@ def _unpack(P):
 
 
 def _gather_correspondences(source, vmap, T, cfg):
-    """Neighbor-voxel gather at pose T: (found, mu, C) each (N, O, ...).
-    One contiguous-row gather of the packed payload."""
+    """Neighbor-voxel gather at pose T: (found, mu, c6) with c6 the 6
+    symmetric inverse-covariance components, each (N, O, ...).
+
+    TWO random gathers total per correspondence — the dense table cell and
+    the packed payload row; key verification and validity ride inside the
+    payload (cols 9/10 hold the voxel key in float-exact halves), replacing
+    the separate `keys`/`valid` gathers that made the gather pass ~70% of an
+    NDT iteration (measured in-program r4)."""
     moved = source.xyz @ T[:3, :3].T + T[:3, 3]
-    ijk = _point_ijk(moved, cfg.resolution, vmap.origin)
+    ijk3 = _point_ijk(moved, cfg.resolution, vmap.origin)
     offsets = jnp.asarray(_NEIGHBOR_OFFSETS[cfg.neighborhood], jnp.int32)
-    idx, found = _table_lookup(
-        vmap.keys, vmap.table, vmap.table_dims, cfg.table_size,
-        ijk[:, None, :] + offsets[None, :, :],
-    )
-    found = found & vmap.valid[idx] & source.mask[:, None]
-    mu, C = _unpack(vmap.packed[idx])
+    ijk = ijk3[:, None, :] + offsets[None, :, :]
+    key = _voxel_key_3d(ijk)
+    # NOTE (r4): a Pallas brute-force VMEM match + one-hot MXU select was
+    # measured as the alternative (no HBM random access at all) and is EXACT
+    # but 8.5x slower — selection-by-matmul burns V/16 more MXU flops than
+    # the payload needs. The two-gather table path below is the fast design.
+    dy, dz = vmap.table_dims[0], vmap.table_dims[1]
+    lin = ((ijk[..., 0] * dy + ijk[..., 1]) * dz + ijk[..., 2]) % cfg.table_size
+    idx = vmap.table[lin]
+    found = idx >= 0
+    idx = jnp.where(found, idx, 0)
+    P = vmap.packed[idx]  # (N, O, 16)
+    key_hi = (key >> 15).astype(P.dtype)
+    key_lo = (key & 0x7FFF).astype(P.dtype)
+    found = found & (P[..., 9] == key_hi) & (P[..., 10] == key_lo)
+    found = found & source.mask[:, None]
+    mu, c6 = _unpack6(P)
     found = _neighbor_gate(found, moved, mu, cfg)
-    return found, mu, C
+    return found, mu, c6
 
 
-def _score_cached(source, found, mu, C, d1, d2, T):
+def _unpack6(P):
+    """Packed rows -> (mu (..., 3), inv-cov components (xx, yy, zz, xy, xz,
+    yz))."""
+    return P[..., 0:3], (P[..., 3], P[..., 6], P[..., 8],
+                         P[..., 4], P[..., 5], P[..., 7])
+
+
+def _md2_comp(moved, mu, c):
+    """Mahalanobis x^T C x in component form; moved (N, 3) broadcasts over
+    the neighbor axis of mu/c (N, O, ...)."""
+    e0 = moved[:, None, 0] - mu[..., 0]
+    e1 = moved[:, None, 1] - mu[..., 1]
+    e2 = moved[:, None, 2] - mu[..., 2]
+    xx, yy, zz, xy, xz, yz = c
+    q0 = xx * e0 + xy * e1 + xz * e2
+    q1 = xy * e0 + yy * e1 + yz * e2
+    q2 = xz * e0 + yz * e1 + zz * e2
+    return e0 * q0 + e1 * q1 + e2 * q2, (e0, e1, e2), (q0, q1, q2)
+
+
+def _score_cached(source, found, mu, c6, d1, d2, T):
     moved = source.xyz @ T[:3, :3].T + T[:3, 3]
-    x = moved[:, None, :] - mu
-    md2 = jnp.einsum("noi,noij,noj->no", x, C, x)
+    md2, _, _ = _md2_comp(moved, mu, c6)
     return jnp.sum(jnp.where(found, d1 * jnp.exp(-0.5 * d2 * md2), 0.0))
 
 
@@ -308,41 +350,82 @@ def ndt_align_with_map(
     ls_stride = 4
     src_ls = jax.tree.map(lambda x: x[::ls_stride], source)
 
-    def derivatives(found, mu, C, T):
-        """g (6,), H (6,6) of the summed score at T (left-mult delta)."""
+    def derivatives(found, mu, c6, T):
+        """g (6,), H (6,6) of the summed score at T (left-mult delta).
+
+        Closed component form on (N, O) columns reduced by ONE
+        (C, N*O) x (N*O,) matvec — the (N, O, 6, 6) einsum formulation
+        spends most of its time in small-matrix layout churn on TPU (same
+        finding as the GICP linearize, bench.py IN-PROGRAM split)."""
         moved = source.xyz @ T[:3, :3].T + T[:3, 3]
-        x = moved[:, None, :] - mu  # (N, O, 3)
-        Cx = jnp.einsum("noij,noj->noi", C, x)
-        md2 = jnp.einsum("noi,noi->no", x, Cx)
+        md2, _, (q0, q1, q2) = _md2_comp(moved, mu, c6)
         e = jnp.exp(-0.5 * d2 * md2)
         coef = jnp.where(found, -d2 * d1 * e, 0.0)  # > 0 per matched pair
         score = jnp.sum(jnp.where(found, d1 * e, 0.0))
-        # J = dx/ddelta = [-hat(moved) | I]; u = J^T C x
-        hm = lie.hat(moved)  # (N, 3, 3)
-        u_rot = jnp.einsum("nij,noj->noi", hm, Cx)  # hat(m) @ Cx
-        u = jnp.concatenate([u_rot, Cx], axis=-1)  # (N, O, 6)
-        g = jnp.einsum("no,noi->i", coef, u)
-        # J^T C J blocks with A = -hat(m):
-        #   rr = A^T C A = hat C hat^T,  rt = A^T C = hat C,  tt = C
-        ChmT = jnp.einsum("noij,nkj->noik", C, hm)  # C @ hat^T
-        rr = jnp.einsum("nij,nojk->noik", hm, ChmT)
-        rt = jnp.einsum("nij,nojk->noik", hm, C)
-        JTCJ = jnp.concatenate(
+        m0 = moved[:, None, 0]
+        m1 = moved[:, None, 1]
+        m2 = moved[:, None, 2]
+        xx, yy, zz, xy, xz, yz = c6
+        # u = J^T C x with J = [-hat(m) | I]: u_rot = m x q, u_t = q
+        u0 = m1 * q2 - m2 * q1
+        u1 = m2 * q0 - m0 * q2
+        u2 = m0 * q1 - m1 * q0
+        # W = hat(m) C: columns w_j = m x Ccol_j (Ccol_0 = (xx,xy,xz) ...)
+        def crossc(a0, a1, a2):
+            return (m1 * a2 - m2 * a1, m2 * a0 - m0 * a2, m0 * a1 - m1 * a0)
+
+        W0 = crossc(xx, xy, xz)  # column 0 of hatC, as 3 rows
+        W1 = crossc(xy, yy, yz)
+        W2 = crossc(xz, yz, zz)
+        # rows of W: W[i][j] = Wj[i]
+        def rr_col(i):  # rr[:, i] entries via rows of hat(m)
+            return (
+                -m2 * W1[i] + m1 * W2[i],
+                m2 * W0[i] - m0 * W2[i],
+                -m1 * W0[i] + m0 * W1[i],
+            )
+
+        r0 = rr_col(0)
+        r1 = rr_col(1)
+        r2 = rr_col(2)
+        u = (u0, u1, u2, q0, q1, q2)
+        cols = jnp.stack(
             [
-                jnp.concatenate([rr, rt], axis=-1),
-                jnp.concatenate([jnp.swapaxes(rt, -1, -2), C], axis=-1),
-            ],
-            axis=-2,
-        )  # (N, O, 6, 6)
-        H = jnp.einsum("no,noij->ij", coef, JTCJ) - d2 * jnp.einsum(
-            "no,noi,noj->ij", coef, u, u
-        )
+                # rr upper (6): (0,0) (1,1) (2,2) (0,1) (0,2) (1,2)
+                r0[0], r1[1], r2[2], r1[0], r2[0], r2[1],
+                # rt = hat(m) C rows x cols (9): rt[i][j] = Wj[i]
+                W0[0], W1[0], W2[0], W0[1], W1[1], W2[1], W0[2], W1[2], W2[2],
+                # tt = C upper (6)
+                xx, yy, zz, xy, xz, yz,
+                # u (6)
+                u0, u1, u2, q0, q1, q2,
+                # u u^T upper (21)
+            ]
+            + [u[i] * u[j] for i in range(6) for j in range(i, 6)],
+            axis=0,
+        )  # (48, N, O)
+        s = cols.reshape(cols.shape[0], -1) @ coef.reshape(-1)
+        rr_m = jnp.stack([jnp.stack([s[0], s[3], s[4]]),
+                          jnp.stack([s[3], s[1], s[5]]),
+                          jnp.stack([s[4], s[5], s[2]])])
+        rt_m = s[6:15].reshape(3, 3)
+        tt_m = jnp.stack([jnp.stack([s[15], s[18], s[19]]),
+                          jnp.stack([s[18], s[16], s[20]]),
+                          jnp.stack([s[19], s[20], s[17]])])
+        g = s[21:27]
+        uu_flat = s[27:48]
+        iu = jnp.asarray(
+            [[0, 1, 2, 3, 4, 5], [1, 6, 7, 8, 9, 10], [2, 7, 11, 12, 13, 14],
+             [3, 8, 12, 15, 16, 17], [4, 9, 13, 16, 18, 19],
+             [5, 10, 14, 17, 19, 20]], jnp.int32)
+        uu = uu_flat[iu]
+        H = jnp.block([[rr_m, rt_m], [rt_m.T, tt_m]]) - d2 * uu
         return score, g, H
 
     def body(state):
         T, it, done, last_score = state
-        found, mu, C = _gather_correspondences(source, vmap_t, T, cfg)
-        _, g, H = derivatives(found, mu, C, T)
+        found, mu, c6 = _gather_correspondences(source, vmap_t, T, cfg)
+        _, g, H = derivatives(found, mu, c6, T)
         # Modified Newton: the NDT Hessian goes indefinite inside the basin,
         # so damp by a Gershgorin lower bound on its spectrum — cheap (no
         # factorization-sized subgraph in the loop body, unlike eigh, which
@@ -361,10 +444,10 @@ def ndt_align_with_map(
         )
         found_ls = found[::ls_stride]
         mu_ls = mu[::ls_stride]
-        C_ls = C[::ls_stride]
-        score_now_ls = _score_cached(src_ls, found_ls, mu_ls, C_ls, d1, d2, T)
+        c6_ls = tuple(c[::ls_stride] for c in c6)
+        score_now_ls = _score_cached(src_ls, found_ls, mu_ls, c6_ls, d1, d2, T)
         scores_ls = jax.vmap(
-            lambda dd: _score_cached(src_ls, found_ls, mu_ls, C_ls, d1, d2, lie.se3_exp_split(dd) @ T)
+            lambda dd: _score_cached(src_ls, found_ls, mu_ls, c6_ls, d1, d2, lie.se3_exp_split(dd) @ T)
         )(cand)
         best = jnp.argmin(scores_ls)
         # accept on the strided score (consistent estimator of the full one)
@@ -384,8 +467,8 @@ def ndt_align_with_map(
     T, iters, _, final_score = jax.lax.while_loop(
         cond, body, (init_T, 0, False, init_score)
     )
-    found, mu, C = _gather_correspondences(source, vmap_t, T, cfg)
-    _, _, H = derivatives(found, mu, C, T)
+    found, mu, c6 = _gather_correspondences(source, vmap_t, T, cfg)
+    _, _, H = derivatives(found, mu, c6, T)
     return LMResult(
         T=T, H=H, error=final_score, converged=jnp.array(True), iterations=iters
     )

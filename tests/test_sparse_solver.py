@@ -165,7 +165,7 @@ def test_direct_woodbury_linear_solve_exact():
     lam = jnp.asarray(1e-6, poses0.dtype)
     A = _damped(Hdiag, lam)
     C = _chain_upper_blocks(Hoff, f.i, f.j, K, poses0.dtype)
-    x = solve_tridiag_woodbury(A, C, Hoff, f.i, f.j, f.mask, -b, 8)
+    x = solve_tridiag_woodbury(A, C, poses0, f, -b, 8)
 
     def mv(x):
         y = jnp.einsum("kij,kj->ki", A, x)
@@ -175,3 +175,50 @@ def test_direct_woodbury_linear_solve_exact():
 
     r = float(jnp.linalg.norm(mv(x) + b) / jnp.linalg.norm(b))
     assert r < 1e-8, r
+
+
+def test_spike_matches_thomas():
+    """The SPIKE partitioned tridiagonal solve equals the sequential
+    block-Thomas to fp precision, multi-RHS included."""
+    import jax
+
+    from gorio_tpu.graph.sparse import (
+        _chain_upper_blocks, _damped, block_tridiag_factor,
+        block_tridiag_solve, build_block_normal_equations,
+        solve_block_tridiag_spike,
+    )
+
+    g, gt = make_chain_graph(K=128, n_loops=4, seed=11)
+    poses0, graph = g.freeze()
+    K = poses0.shape[0]
+    f = graph.between
+    Hdiag, Hoff, b, _ = build_block_normal_equations(poses0, graph)
+    A = _damped(Hdiag, jnp.asarray(1e-6, poses0.dtype))
+    C = _chain_upper_blocks(Hoff, f.i, f.j, K, poses0.dtype)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.normal(size=(K, 6, 5)))
+    Dinv = block_tridiag_factor(A, C)
+    x_ref = block_tridiag_solve(Dinv, C, rhs)
+    for m in (16, 32, 64):
+        x_spike = solve_block_tridiag_spike(A, C, rhs, m=m)
+        np.testing.assert_allclose(
+            np.asarray(x_spike), np.asarray(x_ref), rtol=1e-8, atol=1e-10,
+            err_msg=f"m={m}",
+        )
+
+
+def test_direct_woodbury_spike_path_matches_dense():
+    """K=128 (pow2: takes the SPIKE path inside solve_tridiag_woodbury)
+    reaches the dense optimum."""
+    g, gt = make_chain_graph(K=128, n_loops=6, seed=13)
+    poses0, graph = g.freeze()
+    dense = optimize_graph(poses0, graph, SolveConfig(max_iterations=40))
+    direct = optimize_graph_sparse(
+        poses0, graph, SolveConfig(max_iterations=40, solver="direct",
+                                   loop_capacity=8)
+    )
+    assert float(direct.chi2) <= float(dense.chi2) * 1.001 + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(direct.poses)[:, :3, 3],
+        np.asarray(dense.poses)[:, :3, 3], atol=5e-4,
+    )
