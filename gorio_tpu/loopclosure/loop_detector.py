@@ -52,6 +52,10 @@ class LoopConfig(NamedTuple):
     # from identity, `loop_detector.cpp:225-228`) — a known weakness this
     # deliberately improves on.
     coarse_corr_dist: float = 10.0
+    # gated-fallback SC matches (see detect_batch stage 1) assert
+    # co-location; reject a fallback whose VERIFIED relative translation
+    # exceeds this — displaced-basin "successes" otherwise enter the chain
+    fallback_max_trans: float = 5.0
     enable_odom_check: bool = True
     odom_check_trans_thresh: float = 0.3
     odom_check_rot_thresh: float = 0.05
@@ -508,7 +512,7 @@ class LoopDetector:
             if reason:
                 self._count(reason)
                 continue
-            pairs.append((i, m))
+            pairs.append((i, m, bool(used_fallback[k])))
         if not pairs:
             return []
 
@@ -526,20 +530,20 @@ class LoopDetector:
         infos = np.zeros((n_pairs, 6, 6))
         fits = np.full(n_pairs, np.inf)
         groups = {}
-        for n, (i, m) in enumerate(pairs):
+        for n, (i, m, _fb) in enumerate(pairs):
             kcap = (keyframe_clouds[i].capacity, keyframe_clouds[m].capacity)
             groups.setdefault(kcap, []).append(n)
         for members in groups.values():
             gp = [pairs[n] for n in members]
             pad_p = max(2, 1 << (len(gp) - 1).bit_length())
             gp_p = gp + [gp[0]] * (pad_p - len(gp))
-            src = stack_clouds([i for i, _ in gp_p])
-            tgt = stack_clouds([m for _, m in gp_p])
+            src = stack_clouds([i for i, _, _fb in gp_p])
+            tgt = stack_clouds([m for _, m, _fb in gp_p])
             # seed each verification at the current estimated relative pose
             # old_T_new (see _verify_batch: the reference's identity init is
             # its own acknowledged defect)
             init = jnp.asarray(
-                np.stack([np.linalg.inv(poses[m]) @ poses[i] for i, m in gp_p])
+                np.stack([np.linalg.inv(poses[m]) @ poses[i] for i, m, _fb in gp_p])
             )
             coarse_cfg = self.gicp_cfg._replace(
                 max_correspondence_distance=self.cfg.coarse_corr_dist
@@ -554,7 +558,7 @@ class LoopDetector:
 
         # ---- stage 4: sequential accept chain (host) -----------------------
         accepted = []
-        for n, (i, m) in enumerate(pairs):
+        for n, (i, m, fb) in enumerate(pairs):
             # NOTE the reference's hasConverged() gate (`loop_detector.cpp:
             # 230`) is PCL's, which is true for any completed run — the real
             # verification is the fitness gate + odometry/pairwise checks.
@@ -581,6 +585,13 @@ class LoopDetector:
                 self._count(reason)
                 continue
             T_rel = Ts[n]
+            if fb and np.linalg.norm(T_rel[:3, 3]) > cfg.fallback_max_trans:
+                # a fallback match asserts CO-LOCATION; a verified transform
+                # that moves the keyframe far is a displaced-basin "success"
+                # (SC descriptors are weakly discriminative on repetitive
+                # scenes) — reject before it can poison the pairwise chain
+                self._count("fallback_trans")
+                continue
             if cfg.enable_odom_check and not odometry_check(
                 np.linalg.inv(T_rel), odoms[i], odoms[m], i, m, cfg
             ):

@@ -404,7 +404,12 @@ def ndt_align_with_map(
             + [u[i] * u[j] for i in range(6) for j in range(i, 6)],
             axis=0,
         )  # (48, N, O)
-        s = cols.reshape(cols.shape[0], -1) @ coef.reshape(-1)
+        # f32-faithful reduction: the MXU's default bf16 passes put ~0.4%
+        # error into g/H, visibly degrading Newton steps on the 16k-pt pair
+        s = jax.lax.dot_general(
+            cols.reshape(cols.shape[0], -1), coef.reshape(-1),
+            (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST,
+        )
         rr_m = jnp.stack([jnp.stack([s[0], s[3], s[4]]),
                           jnp.stack([s[3], s[1], s[5]]),
                           jnp.stack([s[4], s[5], s[2]])])
@@ -425,39 +430,54 @@ def ndt_align_with_map(
     def body(state):
         T, it, done, last_score = state
         found, mu, c6 = _gather_correspondences(source, vmap_t, T, cfg)
-        _, g, H = derivatives(found, mu, c6, T)
-        # Modified Newton: the NDT Hessian goes indefinite inside the basin,
-        # so damp by a Gershgorin lower bound on its spectrum — cheap (no
-        # factorization-sized subgraph in the loop body, unlike eigh, which
-        # on TPU inlines a QDWH iteration per step) and the shifted system is
-        # PD, so the solve direction always descends.
-        absH = jnp.abs(H)
-        gersh_lo = jnp.min(jnp.diag(H) - (jnp.sum(absH, axis=1) - jnp.abs(jnp.diag(H))))
-        floor = 1e-4 * jnp.maximum(jnp.max(jnp.diag(absH)), 1.0)
-        shift = jnp.maximum(floor, floor - gersh_lo)
-        d = -jnp.linalg.solve(H + shift * jnp.eye(6, dtype=dtype), g)
-        d_norm = jnp.linalg.norm(d)
-        d_capped = jnp.where(d_norm > 1.0, d / jnp.maximum(d_norm, 1e-12), d)
-        g_dir = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
-        cand = jnp.concatenate(
-            [alphas[:, None] * d_capped[None, :], alphas[:4, None] * g_dir[None, :]]
-        )
         found_ls = found[::ls_stride]
         mu_ls = mu[::ls_stride]
         c6_ls = tuple(c[::ls_stride] for c in c6)
-        score_now_ls = _score_cached(src_ls, found_ls, mu_ls, c6_ls, d1, d2, T)
-        scores_ls = jax.vmap(
-            lambda dd: _score_cached(src_ls, found_ls, mu_ls, c6_ls, d1, d2, lie.se3_exp_split(dd) @ T)
-        )(cand)
-        best = jnp.argmin(scores_ls)
-        # accept on the strided score (consistent estimator of the full one)
-        T_best = lie.se3_exp_split(cand[best]) @ T
-        score_best = scores_ls[best] * ls_stride
-        improved = scores_ls[best] < score_now_ls
-        step = jnp.where(improved, cand[best], jnp.zeros(6, dtype))
-        T_new = jnp.where(improved, T_best, T)
-        done_new = (~improved) | (jnp.linalg.norm(step) < cfg.transformation_epsilon)
-        return T_new, it + 1, done_new, jnp.where(improved, score_best, last_score)
+
+        # Inner frozen-correspondence Newton steps: the gather is ~2/3 of an
+        # iteration's cost, so each gather is amortized over several Newton
+        # steps with the correspondences held fixed — the same freeze the
+        # reference applies inside `computeStepLengthMT`, extended to whole
+        # steps (classic ICP inner iterations). Acceptance uses the FULL
+        # frozen-correspondence objective: strided scores only RANK steps
+        # (subsample-level "improvements" walked the pose off the optimum).
+        def inner(carry, _):
+            Ti, any_improved = carry
+            score_now, g, H = derivatives(found, mu, c6, Ti)
+            # Modified Newton: damp by a Gershgorin lower bound (cheap; the
+            # NDT Hessian goes indefinite well inside the basin)
+            absH = jnp.abs(H)
+            gersh_lo = jnp.min(
+                jnp.diag(H) - (jnp.sum(absH, axis=1) - jnp.abs(jnp.diag(H)))
+            )
+            floor = 1e-4 * jnp.maximum(jnp.max(jnp.diag(absH)), 1.0)
+            shift = jnp.maximum(floor, floor - gersh_lo)
+            d = -jnp.linalg.solve(H + shift * jnp.eye(6, dtype=dtype), g)
+            d_norm = jnp.linalg.norm(d)
+            d_capped = jnp.where(d_norm > 1.0, d / jnp.maximum(d_norm, 1e-12), d)
+            g_dir = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+            cand = jnp.concatenate(
+                [alphas[:, None] * d_capped[None, :], alphas[:4, None] * g_dir[None, :]]
+            )
+            scores_ls = jax.vmap(
+                lambda dd: _score_cached(
+                    src_ls, found_ls, mu_ls, c6_ls, d1, d2, lie.se3_exp_split(dd) @ Ti
+                )
+            )(cand)
+            best = jnp.argmin(scores_ls)
+            T_best = lie.se3_exp_split(cand[best]) @ Ti
+            score_best = _score_cached(source, found, mu, c6, d1, d2, T_best)
+            improved = score_best < score_now
+            T_new = jnp.where(improved, T_best, Ti)
+            return (T_new, any_improved | improved), jnp.where(
+                improved, score_best, score_now
+            )
+
+        (T_new, any_imp), scores_seq = jax.lax.scan(
+            inner, (T, False), None, length=3
+        )
+        done_new = ~any_imp
+        return T_new, it + 1, done_new, scores_seq[-1]
 
     def cond(state):
         _, it, done, _ = state
