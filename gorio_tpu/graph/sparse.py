@@ -408,10 +408,17 @@ def solve_tridiag_woodbury(A, C, poses, between, b, loop_capacity):
     A (K,6,6) damped diagonal blocks (INCLUDING loop-edge diagonal
     contributions — they are subtracted here), C (K-1,6,6) chain
     off-diagonals, `poses`/`between` the current linearization state,
-    b (K,6). `loop_capacity` is the static bound on loop edges; callers size
-    it from the live loop count."""
+    b (K,6) or (K,6,Rb) multi-RHS (every extra column rides the same
+    factorization — the joint pose+plane solver feeds the pose-plane
+    coupling columns through here for its plane Schur complement).
+    `loop_capacity` is the static bound on loop edges; callers size it from
+    the live loop count."""
     from .factors import BetweenFactors
 
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+    Rb = b.shape[-1]
     K = b.shape[0]
     dtype = b.dtype
     Lcap = loop_capacity
@@ -440,9 +447,9 @@ def solve_tridiag_woodbury(A, C, poses, between, b, loop_capacity):
     R = 6 * Lcap
     # RHS block: [b | G^T] — G^T columns live at rows li (Giw^T) and lj (Gjw^T)
     rows6 = jnp.arange(6)
-    cols = 1 + 6 * jnp.arange(Lcap)[:, None, None] + rows6[None, None, :]
-    rhs = jnp.zeros((K, 6, 1 + R), dtype)
-    rhs = rhs.at[:, :, 0].set(b)
+    cols = Rb + 6 * jnp.arange(Lcap)[:, None, None] + rows6[None, None, :]
+    rhs = jnp.zeros((K, 6, Rb + R), dtype)
+    rhs = rhs.at[:, :, :Rb].set(b)
     rhs = rhs.at[li[:, None, None], rows6[None, :, None], cols].add(
         jnp.swapaxes(Giw, 1, 2)
     )
@@ -455,9 +462,9 @@ def solve_tridiag_woodbury(A, C, poses, between, b, loop_capacity):
         sol = solve_block_tridiag_spike(A, C, rhs, m=32)
     else:
         Dinv = block_tridiag_factor(A, C)
-        sol = block_tridiag_solve(Dinv, C, rhs)  # (K, 6, 1+R)
-    x0 = sol[:, :, 0]
-    Y = sol[:, :, 1:]  # (K, 6, R) = T'^-1 G^T
+        sol = block_tridiag_solve(Dinv, C, rhs)  # (K, 6, Rb+R)
+    x0 = sol[:, :, :Rb]
+    Y = sol[:, :, Rb:]  # (K, 6, R) = T'^-1 G^T
 
     def G_apply(V):  # V (K, 6, n) -> G V (L, 6, n) -> (R, n)
         return (
@@ -466,10 +473,11 @@ def solve_tridiag_woodbury(A, C, poses, between, b, loop_capacity):
         ).reshape(R, -1)
 
     cap = jnp.eye(R, dtype=dtype) + G_apply(Y)  # SPD capacitance
-    Gx0 = G_apply(x0[:, :, None])  # (R, 1)
+    Gx0 = G_apply(x0)  # (R, Rb)
     Lc = jnp.linalg.cholesky(cap)
     z = jax.scipy.linalg.cho_solve((Lc, True), Gx0)
-    return x0 - jnp.einsum("kir,r->ki", Y, z[:, 0])
+    out = x0 - jnp.einsum("kir,rn->kin", Y, z)
+    return out[..., 0] if squeeze else out
 
 
 # ---------------------------------------------------------------------------
@@ -718,18 +726,44 @@ def optimize_graph_with_planes_sparse(
             Hxp_ = Hxp
         return Hdiag, Hoff, Hz_off, Hpp, Hxp_, b, bp, chi2 + c2p
 
-    def solve(Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, lam):
+    def solve(poses, Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, lam):
         A = _damped(Hdiag, lam)
         # damped dense plane block (3M, 3M)
         Hpp_d = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(3 * M, 3 * M)
         dp = jnp.diag(Hpp_d)
         Hpp_d = Hpp_d + jnp.diag(lam * jnp.maximum(dp, 1.0))
+        C_direct = _chain_upper_blocks(Hoff, fb.i, fb.j, K, dtype)
+        C_direct = C_direct + _chain_upper_blocks(Hz_off, fz.i, fz.j, K, dtype)
+        if cfg.solver == "direct":
+            # exact: pose block via tridiag+Woodbury (multi-RHS carries the
+            # pose-plane coupling columns), then a dense Schur complement
+            # over the 3M plane coordinates. Non-adjacent z_between edges are
+            # not folded into the correction (the pipeline never creates
+            # them); use solver="cg" for such graphs.
+            M3 = 3 * M
+            Gp = jnp.zeros((K, 6, M3), dtype)
+            colp = 3 * fsp.j[:, None, None] + jnp.arange(3)[None, None, :]
+            Gp = Gp.at[fsp.i[:, None, None], jnp.arange(6)[None, :, None], colp].add(Hxp)
+            fw = fb if not cfg.fix_first else fb._replace(
+                mask=fb.mask & (fb.i != 0) & (fb.j != 0)
+            )
+            B = jnp.concatenate([(-b)[..., None], Gp], -1)
+            X = solve_tridiag_woodbury(A, C_direct, poses, fw, B, cfg.loop_capacity)
+            contrib = jnp.einsum("fij,fin->fjn", Hxp, X[fsp.i])  # (F, 3, 1+M3)
+            GtX = jnp.zeros((M3, 1 + M3), dtype).at[
+                (3 * fsp.j)[:, None, None] + jnp.arange(3)[None, :, None],
+                jnp.arange(1 + M3)[None, None, :],
+            ].add(contrib)
+            S = Hpp_d - GtX[:, 1:]
+            rhs_p = -bp.reshape(-1) - GtX[:, 0]
+            dpl = jnp.linalg.solve(S, rhs_p)
+            dx = X[:, :, 0] - jnp.einsum("kin,n->ki", X[:, :, 1:], dpl)
+            return dx, dpl.reshape(M, 3)
         Hpp_inv = jnp.linalg.inv(
             Hpp_d + 1e-12 * jnp.eye(3 * M, dtype=dtype)
         )
         # chain preconditioner over poses: between + chain z_between blocks
-        C = _chain_upper_blocks(Hoff, fb.i, fb.j, K, dtype)
-        C = C + _chain_upper_blocks(Hz_off, fz.i, fz.j, K, dtype)
+        C = C_direct
         Dinv = block_tridiag_factor(A, C)
 
         def mv(xt):
@@ -762,7 +796,7 @@ def optimize_graph_with_planes_sparse(
     def body(state):
         poses, planes, lam, chi2_prev, it, done, Hd_last = state
         Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, chi2 = lin(poses, planes)
-        dx, dp = solve(Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, lam)
+        dx, dp = solve(poses, Hdiag, Hoff, Hz_off, Hpp, Hxp, b, bp, lam)
         if cfg.fix_first:
             dx = dx.at[0].set(0.0)
         poses_new = jax.vmap(retract)(poses, dx)

@@ -222,3 +222,43 @@ def test_direct_woodbury_spike_path_matches_dense():
         np.asarray(direct.poses)[:, :3, 3],
         np.asarray(dense.poses)[:, :3, 3], atol=5e-4,
     )
+
+
+def test_direct_planes_matches_dense():
+    """The exact direct pose+plane solve (tridiag+Woodbury + plane Schur)
+    reaches the dense joint optimum."""
+    import jax.numpy as jnp
+
+    from gorio_tpu.graph.sparse import optimize_graph_with_planes_sparse
+
+    g, gt = make_chain_graph(K=64, n_loops=4, seed=17)
+    # one world floor plane observed from several keyframes
+    pw = np.array([0.01, -0.02, 1.0, 1.3])
+    pw = pw / np.linalg.norm(pw[:3])
+    j = g.add_plane(pw + np.array([0.02, 0.01, 0.0, 0.05]))
+    rngp = np.random.default_rng(3)
+    for k in range(0, 64, 6):
+        T = gt[k]
+        n_b = T[:3, :3].T @ pw[:3]
+        d_b = pw[3] + pw[:3] @ T[:3, 3]
+        pm = np.concatenate([n_b, [d_b]]) + rngp.normal(scale=0.01, size=4)
+        pm[:3] /= np.linalg.norm(pm[:3])
+        g.add_se3_plane(k, j, pm, info=np.eye(3) * 20.0)
+    poses0, graph = g.freeze()
+    planes0, pg = g.freeze_planes()
+    dense = optimize_graph_with_planes(
+        poses0, jnp.asarray(planes0), graph, pg, SolveConfig(max_iterations=40)
+    )
+    direct = optimize_graph_with_planes_sparse(
+        poses0, jnp.asarray(planes0), graph, pg,
+        SolveConfig(max_iterations=40, solver="direct", loop_capacity=8),
+    )
+    assert float(direct.chi2) <= float(dense.chi2) * 1.005 + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(direct.poses)[:, :3, 3],
+        np.asarray(dense.poses)[:, :3, 3], atol=2e-3,
+    )
+    a, b = np.asarray(direct.planes)[0], np.asarray(dense.planes)[0]
+    if a[:3] @ b[:3] < 0:
+        b = -b
+    np.testing.assert_allclose(a, b, atol=2e-3)
