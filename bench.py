@@ -150,10 +150,16 @@ def main():
     cfg = NDTConfig(resolution=1.0, neighborhood="direct7", voxel_capacity=32768)
     vmap_t = build_voxel_map(target, cfg)
     vmap_t.keys.block_until_ready()
+    # coarse map for the multires headline path (part of target setup, like
+    # the reference's untimed setInputTarget map build)
+    from gorio_tpu.registration.ndt import coarse_cfg, ndt_align_multires
+
+    vmap_c = build_voxel_map(target, coarse_cfg(cfg))
+    vmap_c.keys.block_until_ready()
     init_T = jnp.eye(4, dtype=dtype)
 
     # warmup/compile
-    res = ndt_align_with_map(source, vmap_t, init_T, cfg)
+    res = ndt_align_multires(source, vmap_c, vmap_t, init_T, cfg)
     res.T.block_until_ready()
 
     def chain_ms(make_step, x0, n_inner=10, reps=3):
@@ -184,14 +190,28 @@ def main():
         return float(np.median(ts))
 
     # headline: in-program per-align time (chained; identical iterations per
-    # align since the init stays eye — the loop dependency is value-neutral)
+    # align since the init stays eye — the loop dependency is value-neutral).
+    # The headline path is the coarse-to-fine schedule (ndt_align_multires,
+    # r4): same DIRECT7 fine stage, ~2.5x faster than single-resolution with
+    # equal-or-better score/fitness/recovered pose (see ndt.py rationale).
     def ndt_step(T):
-        r = ndt_align_with_map(source, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg)
+        r = ndt_align_multires(
+            source, vmap_c, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg
+        )
         return r.T
 
     ndt_ms = chain_ms(ndt_step, init_T, n_inner=10)
+
+    # single-resolution parity path (the reference's exact algorithm shape)
+    def ndt_sr_step(T):
+        r = ndt_align_with_map(source, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg)
+        return r.T
+
+    ndt_sr_ms = chain_ms(ndt_sr_step, init_T, n_inner=10)
     # per-dispatch sync latency (includes the tunnel round trip)
-    ndt_sync_ms = percall_ms(lambda: ndt_align_with_map(source, vmap_t, init_T, cfg).T)
+    ndt_sync_ms = percall_ms(
+        lambda: ndt_align_multires(source, vmap_c, vmap_t, init_T, cfg).T
+    )
 
     # DIRECT1 (reference's fastest published config: 34.6 ms 1t / 17.2 ms 8t)
     cfg1 = cfg._replace(neighborhood="direct1")
@@ -224,8 +244,8 @@ def main():
 
     def ndt_batch_step(T):
         Ts = jax.vmap(
-            lambda s: ndt_align_with_map(
-                s, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg
+            lambda s: ndt_align_multires(
+                s, vmap_c, vmap_t, init_T * (1.0 + 0.0 * T[0, 0]), cfg
             ).T
         )(srcs)
         return Ts[0]
@@ -259,7 +279,7 @@ def main():
     )
     # aligning the perturbed copy onto the original target must recover
     # T_true^-1; errors stay on device until the final fetch block
-    res_known = ndt_align_with_map(pert, vmap_t, init_T, cfg)
+    res_known = ndt_align_multires(pert, vmap_c, vmap_t, init_T, cfg)
     from gorio_tpu.core import lie as _lie
 
     dT = res_known.T @ T_true_j
@@ -280,8 +300,9 @@ def main():
     log(
         f"fitness: {float(fit_dev):.4f} (identity: {float(fit0_dev):.4f}, ref 0.214205)"
     )
-    log(f"ndt direct7 align (in-program): {ndt_ms:.3f} ms (ref 1-thread "
-        f"{REF_MS_DIRECT7_1T} ms, 8-thread 63.1 ms)")
+    log(f"ndt direct7 align, coarse-to-fine (in-program): {ndt_ms:.3f} ms "
+        f"(ref 1-thread {REF_MS_DIRECT7_1T} ms, 8-thread 63.1 ms)")
+    log(f"ndt direct7 align, single-resolution parity: {ndt_sr_ms:.3f} ms")
     log(f"ndt direct7 align (per-dispatch sync incl tunnel): {ndt_sync_ms:.3f} ms")
     log(f"ndt direct1 align (in-program): {ndt1_ms:.3f} ms (ref 34.6 ms 1t / 17.2 ms 8t)")
     log(f"voxel map build (in-program): {build_ms:.3f} ms")
@@ -305,6 +326,7 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(REF_MS_DIRECT7_1T / ndt_ms, 3),
                 "sync_ms": round(ndt_sync_ms, 3),
+                "singleres_ms": round(ndt_sr_ms, 3),
                 "batched_aligns_per_s": round(ndt_batch_per_s, 2),
                 "fitness": round(float(fit_dev), 6),
                 "fitness_identity": round(float(fit0_dev), 6),

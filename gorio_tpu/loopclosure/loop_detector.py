@@ -61,6 +61,30 @@ class LoopConfig(NamedTuple):
     odom_check_rot_thresh: float = 0.05
     pairwise_check_trans_thresh: float = 3.0
     pairwise_check_rot_thresh: float = 0.3
+    # which pose source closes the pairwise-consistency cycle between the
+    # previous accepted loop and the candidate. "odom" is reference parity
+    # (raw scan odometry, `loop_detector.cpp:281-283`). "estimate" closes the
+    # cycle with the graph-optimized poses (the reference's own #if 0
+    # alternative at `loop_detector.cpp:273-280` uses node->estimate()) —
+    # measured WORSE on the recall circuit (r4): drift-free spans make the
+    # cycle so permissive that a displaced-basin verification passed it
+    # (circuit2: 1 false accept, precision 1.0 -> 0.5), while true loops far
+    # from the previous accept still failed on their own transform error.
+    # Kept as an option; the default stays at parity.
+    pairwise_mode: str = "odom"  # "odom" (reference parity) | "estimate"
+    # drift-scaled pairwise translation allowance (r4 recall fix): the
+    # pairwise cycle error T_lc_ij * odom_li * T_lc_kl^-1 * odom_jk contains
+    # the RAW odometRY drift accumulated over the two odometry spans
+    # (prev.key_old -> m and prev.key_new -> i), so the reference's fixed
+    # 3 m bound rejects every true loop whose spans are long — measured on
+    # the recall circuit: 55 true revisits with verification fitness
+    # 0.05-0.10 rejected at cycle errors 3.4-4.2 m, all from span drift.
+    # When enabled, the translation threshold grows with span length using
+    # the SAME drift model the candidate ellipse gates already use
+    # (odom_drift_xy * drift_scale_xy per meter traveled); the rotation
+    # bound stays fixed. False loops are still rejected: their cycle error
+    # contains the match displacement itself, far above the allowance.
+    pairwise_drift_scaled: bool = True
 
 
 class Loop(NamedTuple):
@@ -190,16 +214,22 @@ def odometry_check(T_loop_ij, odom_new, odom_old, idx_new, idx_old, cfg: LoopCon
 
 
 def pairwise_consistency_check(
-    T_loop_ij, odom_li, T_loop_kl_inv, odom_jk, cfg: LoopConfig
+    T_loop_ij, odom_li, T_loop_kl_inv, odom_jk, cfg: LoopConfig,
+    span_dist: float = 0.0,
 ):
-    """Consistency vs the previous loop (`loop_detector.cpp:270-297`)."""
+    """Consistency vs the previous loop (`loop_detector.cpp:270-297`).
+
+    `span_dist` is the total traveled distance along the two odometry spans
+    of the cycle; with `cfg.pairwise_drift_scaled` the translation bound
+    grows by the drift model (see LoopConfig), since that drift sits in the
+    cycle error even for a perfect loop transform."""
     T_err = np.asarray(T_loop_ij) @ odom_li @ T_loop_kl_inv @ odom_jk
     trans_err = np.linalg.norm(T_err[:3, 3])
     rot_err = _rot_angle_np(T_err[:3, :3])
-    return (
-        trans_err <= cfg.pairwise_check_trans_thresh
-        and rot_err <= cfg.pairwise_check_rot_thresh
-    )
+    thr_t = cfg.pairwise_check_trans_thresh
+    if cfg.pairwise_drift_scaled:
+        thr_t += cfg.odom_drift_xy * cfg.drift_scale_xy * float(span_dist)
+    return trans_err <= thr_t and rot_err <= cfg.pairwise_check_rot_thresh
 
 
 @dataclass
@@ -218,6 +248,11 @@ class LoopDetector:
     # VERDICT r2 found 1 loop on a closed circuit with zero visibility into
     # why; the reference prints nothing either, `loop_detector.cpp:139-297`)
     gate_counts: dict = field(default_factory=dict)
+    # per-VERIFIED-candidate decision log (pair, seed used, fitness, |t| of
+    # the verified transform, cycle errors, final gate) — the recall
+    # characterization needs to know WHICH true loops die WHERE, not just
+    # counts. Cheap (host floats, only for pairs that reach verification).
+    candidate_log: list = field(default_factory=list)
 
     def _count(self, gate: str, n: int = 1):
         self.gate_counts[gate] = self.gate_counts.get(gate, 0) + n
@@ -351,14 +386,16 @@ class LoopDetector:
             # (odom): l/k are the previous loop's OLD/NEW keyframes
             # (`loop_detector.cpp:281-283`; queue = (new, old), `:324`)
             prev = self.loops[-1]
-            odom_li = np.linalg.inv(np.asarray(keyframe_odoms[match])) @ np.asarray(
-                keyframe_odoms[prev.key_old]
-            )
-            odom_jk = np.linalg.inv(np.asarray(keyframe_odoms[prev.key_new])) @ np.asarray(
-                keyframe_odoms[new_index]
+            # span source per cfg.pairwise_mode (see LoopConfig)
+            span = poses if cfg.pairwise_mode == "estimate" else np.asarray(keyframe_odoms)
+            odom_li = np.linalg.inv(span[match]) @ span[prev.key_old]
+            odom_jk = np.linalg.inv(span[prev.key_new]) @ span[new_index]
+            span_dist = abs(accum[match] - accum[prev.key_old]) + abs(
+                accum[new_index] - accum[prev.key_new]
             )
             if not pairwise_consistency_check(
-                np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg
+                np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg,
+                span_dist=span_dist,
             ):
                 return None
 
@@ -559,6 +596,20 @@ class LoopDetector:
         # ---- stage 4: sequential accept chain (host) -----------------------
         accepted = []
         for n, (i, m, fb) in enumerate(pairs):
+            T_rel = Ts[n]
+            est_rel = np.linalg.inv(poses[m]) @ poses[i]
+            rec = {
+                "new": int(i), "old": int(m), "fallback": bool(fb),
+                "fitness": float(fits[n]),
+                "t_norm": float(np.linalg.norm(T_rel[:3, 3])),
+                # disagreement between the verified transform and the current
+                # graph estimate of the same relative pose
+                "est_err": float(
+                    np.linalg.norm((np.linalg.inv(est_rel) @ T_rel)[:3, 3])
+                ),
+                "gate": "accepted",
+            }
+            self.candidate_log.append(rec)
             # NOTE the reference's hasConverged() gate (`loop_detector.cpp:
             # 230`) is PCL's, which is true for any completed run — the real
             # verification is the fitness gate + odometry/pairwise checks.
@@ -568,11 +619,13 @@ class LoopDetector:
             if not bool(conv[n]):
                 self._count("not_converged")
             if not np.isfinite(fits[n]) or float(fits[n]) > cfg.fitness_thresh:
+                rec["gate"] = "fitness"
                 self._count("fitness")
                 continue
             new_accum = accum[i]
             dist_since = new_accum - self.last_loop_accum
             if dist_since < cfg.min_loop_interval_dist:
+                rec["gate"] = "interval"
                 self._count("interval")
                 continue
             reason = candidate_gate_reason(
@@ -582,29 +635,45 @@ class LoopDetector:
                 old_alt=None if keyframe_altitudes is None else keyframe_altitudes[m],
             )
             if reason:
+                rec["gate"] = reason
                 self._count(reason)
                 continue
-            T_rel = Ts[n]
             if fb and np.linalg.norm(T_rel[:3, 3]) > cfg.fallback_max_trans:
                 # a fallback match asserts CO-LOCATION; a verified transform
                 # that moves the keyframe far is a displaced-basin "success"
                 # (SC descriptors are weakly discriminative on repetitive
                 # scenes) — reject before it can poison the pairwise chain
+                rec["gate"] = "fallback_trans"
                 self._count("fallback_trans")
                 continue
             if cfg.enable_odom_check and not odometry_check(
                 np.linalg.inv(T_rel), odoms[i], odoms[m], i, m, cfg
             ):
+                rec["gate"] = "odom_check"
                 self._count("odom_check")
                 continue
             if self.loops:
                 # see detect(): l/k are the previous loop's OLD/NEW keyframes
                 prev = self.loops[-1]
-                odom_li = np.linalg.inv(odoms[m]) @ odoms[prev.key_old]
-                odom_jk = np.linalg.inv(odoms[prev.key_new]) @ odoms[i]
+                # span source per cfg.pairwise_mode (see LoopConfig)
+                span = poses if cfg.pairwise_mode == "estimate" else odoms
+                odom_li = np.linalg.inv(span[m]) @ span[prev.key_old]
+                odom_jk = np.linalg.inv(span[prev.key_new]) @ span[i]
+                T_err = (
+                    np.linalg.inv(T_rel) @ odom_li @ np.asarray(prev.T_rel) @ odom_jk
+                )
+                span_dist = abs(accum[m] - accum[prev.key_old]) + abs(
+                    accum[i] - accum[prev.key_new]
+                )
+                rec["pairwise_trans"] = float(np.linalg.norm(T_err[:3, 3]))
+                rec["pairwise_rot"] = _rot_angle_np(T_err[:3, :3])
+                rec["span_dist"] = float(span_dist)
+                rec["prev"] = [int(prev.key_new), int(prev.key_old)]
                 if not pairwise_consistency_check(
-                    np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg
+                    np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg,
+                    span_dist=span_dist,
                 ):
+                    rec["gate"] = "pairwise"
                     self._count("pairwise")
                     continue
             loop = Loop(
