@@ -36,9 +36,15 @@ it is actually the only truthful synchronous mode. So this file:
 Prints ONE JSON line:
   {"metric": "ndt_direct7_align_ms", "value": ..., "unit": "ms",
    "vs_baseline": <reference_ms / ours_ms>}
-value = the chained in-program per-align time (2); the per-dispatch number
-is reported alongside as `sync_ms`. Secondary throughput numbers (APDGICP,
-UGPM, ego-velocity, GP-interp, HMC) go to stderr.
+value = the LIKE-FOR-LIKE single-resolution DIRECT7 align time (the
+reference's exact algorithm shape), chained in-program (2); `vs_baseline`
+divides the reference's 1-thread time by it and `vs_ref_8thread` its
+8-thread time (both same-algorithm comparisons). The coarse-to-fine
+redesign is reported under its own `multires_*` keys — it is a different
+(better) algorithm, and headlining it as a "speedup" over the reference's
+single-resolution run would mix algorithm with comparison (ADVICE r4).
+Per-dispatch numbers land in `sync_ms`. Secondary throughput numbers
+(APDGICP, UGPM, ego-velocity, GP-interp, HMC) go to stderr.
 """
 
 import json
@@ -49,6 +55,7 @@ import time
 import numpy as np
 
 REF_MS_DIRECT7_1T = 139.433  # `ndt_omp/README.md:24-27`
+REF_MS_DIRECT7_8T = 63.1442  # `ndt_omp/README.md:39-42`
 REF_PCDS = (
     "/root/reference/ndt_omp/data/251370668.pcd",
     "/root/reference/ndt_omp/data/251371071.pcd",
@@ -210,7 +217,7 @@ def main():
     ndt_sr_ms = chain_ms(ndt_sr_step, init_T, n_inner=10)
     # per-dispatch sync latency (includes the tunnel round trip)
     ndt_sync_ms = percall_ms(
-        lambda: ndt_align_multires(source, vmap_c, vmap_t, init_T, cfg).T
+        lambda: ndt_align_with_map(source, vmap_t, init_T, cfg).T
     )
 
     # DIRECT1 (reference's fastest published config: 34.6 ms 1t / 17.2 ms 8t)
@@ -322,11 +329,17 @@ def main():
         json.dumps(
             {
                 "metric": "ndt_direct7_align_ms",
-                "value": round(ndt_ms, 3),
+                # LIKE-FOR-LIKE headline: single-resolution DIRECT7 (the
+                # reference's algorithm) vs its 1-thread and 8-thread times.
+                "value": round(ndt_sr_ms, 3),
                 "unit": "ms",
-                "vs_baseline": round(REF_MS_DIRECT7_1T / ndt_ms, 3),
+                "vs_baseline": round(REF_MS_DIRECT7_1T / ndt_sr_ms, 3),
+                "vs_ref_8thread": round(REF_MS_DIRECT7_8T / ndt_sr_ms, 3),
                 "sync_ms": round(ndt_sync_ms, 3),
-                "singleres_ms": round(ndt_sr_ms, 3),
+                # coarse-to-fine redesign (different algorithm, same
+                # accuracy bar — see ndt.py rationale): own keys, own ratio
+                "multires_ms": round(ndt_ms, 3),
+                "multires_vs_ref_1t": round(REF_MS_DIRECT7_1T / ndt_ms, 3),
                 "batched_aligns_per_s": round(ndt_batch_per_s, 2),
                 "fitness": round(float(fit_dev), 6),
                 "fitness_identity": round(float(fit0_dev), 6),

@@ -85,6 +85,13 @@ class LoopConfig(NamedTuple):
     # bound stays fixed. False loops are still rejected: their cycle error
     # contains the match displacement itself, far above the allowance.
     pairwise_drift_scaled: bool = True
+    # hard ceiling on the drift-scaled pairwise translation allowance: the
+    # linear growth (0.1 m per meter of span) must not disable the backstop
+    # for loops far from the previous accept (a 100 m span would otherwise
+    # allow +10 m of cycle error). A genuine loop's cycle error is span
+    # drift; a displaced-basin false match adds its own displacement, which
+    # this cap keeps rejectable at any span length.
+    pairwise_trans_cap: float = 8.0
 
 
 class Loop(NamedTuple):
@@ -228,7 +235,10 @@ def pairwise_consistency_check(
     rot_err = _rot_angle_np(T_err[:3, :3])
     thr_t = cfg.pairwise_check_trans_thresh
     if cfg.pairwise_drift_scaled:
-        thr_t += cfg.odom_drift_xy * cfg.drift_scale_xy * float(span_dist)
+        thr_t = min(
+            thr_t + cfg.odom_drift_xy * cfg.drift_scale_xy * float(span_dist),
+            cfg.pairwise_trans_cap,
+        )
     return trans_err <= thr_t and rot_err <= cfg.pairwise_check_rot_thresh
 
 

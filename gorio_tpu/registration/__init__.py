@@ -40,7 +40,12 @@ _METHODS = {
 
 def select_registration(method: str = "FAST_APDGICP", **overrides):
     """Return `align(source, target, init_T=None) -> LMResult` for the named
-    method (names as in the reference's launch files)."""
+    method (names as in the reference's launch files).
+
+    Note (NDT_MULTIRES): per-stage iteration budgets are controlled by
+    `coarse_iterations` / `fine_iterations`; `max_iterations` only LOWERS the
+    fine budget (the fine stage runs min(max_iterations, fine_iterations) —
+    see `ndt.ndt_align_multires`)."""
     kind, mode = _METHODS[method.upper()]
     if kind == "gicp":
         cfg = GICPConfig(mode=mode, **overrides)

@@ -560,8 +560,13 @@ def ndt_align_multires(
     target (coarse via `coarse_cfg(cfg)`), mirroring `setInputTarget`'s
     untimed map build."""
     rc = ndt_align_with_map(source, vmap_coarse, init_T, coarse_cfg(cfg))
+    # fine-stage budget: `fine_iterations` (the schedule's own knob), never
+    # exceeding the caller's `max_iterations` — a caller asking for FEWER
+    # total iterations than the schedule default is respected; raising the
+    # fine budget is done via `fine_iterations` (see `select_registration`)
     rf = ndt_align_with_map(
-        source, vmap_fine, rc.T, cfg._replace(max_iterations=cfg.fine_iterations)
+        source, vmap_fine, rc.T,
+        cfg._replace(max_iterations=min(cfg.max_iterations, cfg.fine_iterations)),
     )
     return rf._replace(iterations=rc.iterations + rf.iterations)
 

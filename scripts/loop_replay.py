@@ -69,6 +69,13 @@ def record(seq: str, out: str):
         for k, c in enumerate(keyframe_clouds):
             if k not in clouds_ref:
                 clouds_ref[k] = c
+            elif clouds_ref[k] is not c:
+                # replay verifies against the FIRST-seen cloud; a rebuilt/
+                # redownsampled keyframe cloud would silently skew gate
+                # experiments, so make it loud
+                print(f"WARNING: keyframe {k} cloud object changed between "
+                      "detect_batch calls; replay uses the first-seen cloud",
+                      file=sys.stderr)
         return orig(self, new_indices, keyframe_clouds, keyframe_poses,
                     keyframe_odoms, keyframe_accum, keyframe_altitudes)
 
@@ -138,10 +145,13 @@ def make_detector(rec, overrides):
     n = rec["count"]
     while db.descs.shape[0] < rec["descs"].shape[0]:
         db = db.grow()
-    C = db.descs.shape[0]
-    descs = db.descs.at[: rec["descs"].shape[0]].set(jnp.asarray(rec["descs"][:C]))
+    # explicit shape contract: the grown DB must hold the whole recording
+    # (no clamping-slice tricks — .at[].set with the exact recorded arrays)
+    assert db.descs.shape[0] >= rec["descs"].shape[0], (
+        db.descs.shape, rec["descs"].shape)
+    descs = db.descs.at[: rec["descs"].shape[0]].set(jnp.asarray(rec["descs"]))
     rkeys = db.ring_keys.at[: rec["ring_keys"].shape[0]].set(
-        jnp.asarray(rec["ring_keys"][:C])
+        jnp.asarray(rec["ring_keys"])
     )
     db = db._replace(descs=descs, ring_keys=rkeys, count=jnp.asarray(n, jnp.int32))
     det.db = db
