@@ -76,9 +76,18 @@ def so3_log(R):
     Parity: `math_utils.h:48` (logMap)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     # keep strictly inside (-1, 1): arccos has an infinite derivative at the
-    # endpoints, which leaks NaN through `where` in reverse-mode autodiff; the
-    # value change is ~1e-5 rad, below every consumer's tolerance
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-14, 1.0 - 1e-14)
+    # endpoints, which leaks NaN through `where` in reverse-mode autodiff.
+    # The margin must be representable IN THE INPUT DTYPE: in float32,
+    # 1.0 - 1e-14 rounds back to 1.0 and the clip is a no-op — every f32
+    # autodiff consumer (TPU-path HMC, f32 graph solves) got NaN gradients
+    # at identity-rotation residuals (found by the r5 ESS benchmark: chains
+    # of NaNs). f32 margin 1e-6 => theta saturates ~1.4e-3 at the endpoints;
+    # the rotvec value is unaffected near identity (r = scale * vee(R-R^T)
+    # with vee ~ 0) and the near-pi branch threshold below is raised to
+    # match the saturation.
+    _f32 = R.dtype == jnp.float32
+    _eps_clip = 1e-6 if _f32 else 1e-14
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + _eps_clip, 1.0 - _eps_clip)
     theta = jnp.arccos(cos_t)
     # Generic case: r = theta/(2 sin theta) * vee(R - R^T)
     w = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
@@ -104,8 +113,9 @@ def so3_log(R):
     sgn = jnp.where(jnp.sum(axis_pi * w, axis=-1) < 0, -1.0, 1.0)
     r_pi = (theta * sgn)[..., None] * axis_pi
 
-    # (threshold must exceed the sin of the clipped-theta saturation ~1.4e-5)
-    near_pi = sin_t <= 1e-4
+    # (threshold must exceed the sin of the clipped-theta saturation:
+    # ~1.4e-5 in f64, ~1.4e-3 with the f32 clip margin)
+    near_pi = sin_t <= (3e-3 if _f32 else 1e-4)
     big_angle = theta > 1.0  # only trust the pi-branch for genuinely large angles
     return jnp.where((near_pi & big_angle)[..., None], r_pi, r_generic)
 

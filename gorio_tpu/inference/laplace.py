@@ -23,6 +23,32 @@ def graph_logprob(poses0, graph: GraphData) -> Callable:
     return logprob
 
 
+def whitened_logprob(lp, H, jitter: float = 1e-6):
+    """Laplace-whitened density: returns (lp_y, L) with y = L^T x and
+    L = chol(H + jitter I), so the posterior curvature at the mode is ~I in
+    y — the preconditioning HMC needs on pose-graph posteriors, whose raw
+    local-coordinate scales span 1e-2 (anchored pose) to tens of meters
+    (far-pose marginals). A DIAGONAL inverse-mass cannot fix the cross-pose
+    correlations of a chain graph (measured r5: R-hat ~6 after 256 draws vs
+    ~1.3 whitened on the same graph — see bench.py). The Cholesky runs on
+    the host in float64: an f32 factor of a kappa~1e6 Hessian perturbs the
+    whitened curvature enough to matter.
+
+    Transform samples back with x = solve_triangular(L, y, lower, trans=1).
+    """
+    import numpy as np
+
+    Hn = np.asarray(H, np.float64)
+    Ln = np.linalg.cholesky(Hn + jitter * np.eye(Hn.shape[0]))
+    L = jnp.asarray(Ln, jnp.asarray(H).dtype)
+
+    def lp_y(y):
+        x = jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
+        return lp(x)
+
+    return lp_y, L
+
+
 def laplace_sample(key, result: SolveResult, n_samples: int):
     """Draw pose-perturbation samples from N(0, H^{-1})."""
     cov = laplace_covariance(result)

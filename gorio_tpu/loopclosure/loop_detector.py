@@ -85,6 +85,23 @@ class LoopConfig(NamedTuple):
     # bound stays fixed. False loops are still rejected: their cycle error
     # contains the match displacement itself, far above the allowance.
     pairwise_drift_scaled: bool = True
+    # base radius of the since-last-loop drift ellipse (reference hardcodes
+    # 3.0, `loop_detector.cpp:171`). With a well-corrected estimate the
+    # candidate-to-current displacement approaches the TRUE revisit offset —
+    # revisits up to ~5 m of genuine lateral offset are real loops the 3 m
+    # floor shadows right after an accept (r4 recall: ellipse_since_last_loop
+    # was the #1 rejection on circuit2, 81 counts). The verification +
+    # fallback_trans + pairwise chain carries the precision burden; measured
+    # on both recall circuits + the held-out sequence before changing.
+    ellipse_base: float = 6.0
+    # pairwise consistency compares against the accepted loop with the
+    # SMALLEST odometry-span distance to the candidate cycle (the reference
+    # always uses the most recent, `loop_detector.cpp:281-283` — after a
+    # long loop-free stretch the cycle accumulates so much span drift the
+    # check either rejects true loops (fixed thr) or allows everything
+    # (drift-scaled thr)). Nearest-span keeps the cycle short => tight
+    # bound, which is the point of the check.
+    pairwise_nearest: bool = True
     # hard ceiling on the drift-scaled pairwise translation allowance: the
     # linear growth (0.1 m per meter of span) must not disable the backstop
     # for loops far from the previous accept (a 100 m span would otherwise
@@ -196,7 +213,7 @@ def candidate_gate_reason(new_pos, new_yaw, new_accum, old_pos, old_yaw, old_acc
     if np.rad2deg(yaw_diff) >= cfg.max_yaw_difference_deg:
         return "yaw"
     diff = np.asarray(new_pos) - np.asarray(old_pos)
-    rad_lle = 3.0 + dist_since_last_loop * cfg.odom_drift_xy * cfg.drift_scale_xy
+    rad_lle = cfg.ellipse_base + dist_since_last_loop * cfg.odom_drift_xy * cfg.drift_scale_xy
     if (diff[0] / rad_lle) ** 2 + (diff[1] / rad_lle) ** 2 > 1.0:
         return "ellipse_since_last_loop"
     rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
@@ -317,7 +334,7 @@ class LoopDetector:
             mask &= ~(np.abs(old_alts - float(alts[new_index])) > cfg.max_baro_difference)
         yaw_diff = np.abs((yaw_new - yaws + np.pi) % (2 * np.pi) - np.pi)
         mask &= np.rad2deg(yaw_diff) < cfg.max_yaw_difference_deg
-        rad_lle = 3.0 + dist_since * cfg.odom_drift_xy * cfg.drift_scale_xy
+        rad_lle = cfg.ellipse_base + dist_since * cfg.odom_drift_xy * cfg.drift_scale_xy
         mask &= (diff[:, 0] / rad_lle) ** 2 + (diff[:, 1] / rad_lle) ** 2 <= 1.0
         rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
         mask &= (diff[:, 0] / rad_xy) ** 2 + (diff[:, 1] / rad_xy) ** 2 <= 1.0
@@ -394,15 +411,23 @@ class LoopDetector:
         if self.loops:
             # cycle i -> j (this loop) -> l (odom) -> k (prev loop) -> i
             # (odom): l/k are the previous loop's OLD/NEW keyframes
-            # (`loop_detector.cpp:281-283`; queue = (new, old), `:324`)
-            prev = self.loops[-1]
+            # (`loop_detector.cpp:281-283`; queue = (new, old), `:324`).
+            # Compared loop per cfg.pairwise_nearest (see LoopConfig).
+            def _span_of(p):
+                return abs(accum[match] - accum[p.key_old]) + abs(
+                    accum[new_index] - accum[p.key_new]
+                )
+
+            prev = (
+                min(self.loops, key=_span_of)
+                if cfg.pairwise_nearest
+                else self.loops[-1]
+            )
             # span source per cfg.pairwise_mode (see LoopConfig)
             span = poses if cfg.pairwise_mode == "estimate" else np.asarray(keyframe_odoms)
             odom_li = np.linalg.inv(span[match]) @ span[prev.key_old]
             odom_jk = np.linalg.inv(span[prev.key_new]) @ span[new_index]
-            span_dist = abs(accum[match] - accum[prev.key_old]) + abs(
-                accum[new_index] - accum[prev.key_new]
-            )
+            span_dist = _span_of(prev)
             if not pairwise_consistency_check(
                 np.linalg.inv(T_rel), odom_li, np.asarray(prev.T_rel), odom_jk, cfg,
                 span_dist=span_dist,
@@ -478,7 +503,7 @@ class LoopDetector:
             # batch-start dist_since upper-bounds the true value -> radius is
             # a superset of the exact gate, which the accept chain re-runs
             dist_since0 = accum[i] - self.last_loop_accum
-            rad_lle = 3.0 + dist_since0 * cfg.odom_drift_xy * cfg.drift_scale_xy
+            rad_lle = cfg.ellipse_base + dist_since0 * cfg.odom_drift_xy * cfg.drift_scale_xy
             mk &= (diff[:, 0] / rad_lle) ** 2 + (diff[:, 1] / rad_lle) ** 2 <= 1.0
             rad_xy = 10.0 + cfg.odom_drift_xy * accum_d * cfg.drift_scale_xy
             mk &= (diff[:, 0] / rad_xy) ** 2 + (diff[:, 1] / rad_xy) ** 2 <= 1.0
@@ -663,8 +688,18 @@ class LoopDetector:
                 self._count("odom_check")
                 continue
             if self.loops:
-                # see detect(): l/k are the previous loop's OLD/NEW keyframes
-                prev = self.loops[-1]
+                # see detect(): l/k are the previous loop's OLD/NEW keyframes;
+                # compared loop per cfg.pairwise_nearest (see LoopConfig)
+                def _span_of(p):
+                    return abs(accum[m] - accum[p.key_old]) + abs(
+                        accum[i] - accum[p.key_new]
+                    )
+
+                prev = (
+                    min(self.loops, key=_span_of)
+                    if cfg.pairwise_nearest
+                    else self.loops[-1]
+                )
                 # span source per cfg.pairwise_mode (see LoopConfig)
                 span = poses if cfg.pairwise_mode == "estimate" else odoms
                 odom_li = np.linalg.inv(span[m]) @ span[prev.key_old]
@@ -672,9 +707,7 @@ class LoopDetector:
                 T_err = (
                     np.linalg.inv(T_rel) @ odom_li @ np.asarray(prev.T_rel) @ odom_jk
                 )
-                span_dist = abs(accum[m] - accum[prev.key_old]) + abs(
-                    accum[i] - accum[prev.key_new]
-                )
+                span_dist = _span_of(prev)
                 rec["pairwise_trans"] = float(np.linalg.norm(T_err[:3, 3]))
                 rec["pairwise_rot"] = _rot_angle_np(T_err[:3, :3])
                 rec["span_dist"] = float(span_dist)

@@ -547,14 +547,24 @@ class RadarGraphSLAM:
         res = optimize_graph(poses0, graph, self.cfg.solve)
         lp = graph_logprob(res.poses, graph)
         n = poses0.shape[0] * 6
-        inv_mass = 1.0 / jnp.maximum(jnp.diag(res.H), 1.0)
+        # Laplace-whitened kernel (r5): sample y = L^T x with L = chol(H) —
+        # a diagonal inverse-mass cannot precondition the cross-pose
+        # correlations of a chain graph (measured: R-hat ~6 vs ~1.3 whitened
+        # on the bench posterior, see bench.py). Samples are mapped back to
+        # local pose coordinates before returning.
+        from ..inference.laplace import whitened_logprob
+
+        lp_y, L_w = whitened_logprob(lp, res.H)
         keys = jax.random.split(key, n_chains)
-        samples, accepts = jax.vmap(
+        samples_y, accepts = jax.vmap(
             lambda k: run_hmc(
-                k, lp, jnp.zeros(n, poses0.dtype), n_samples=n_samples,
-                step_size=0.5, n_leapfrog=12, inv_mass=inv_mass,
+                k, lp_y, jnp.zeros(n, poses0.dtype), n_samples=n_samples,
+                step_size=0.15, n_leapfrog=16,
             )
         )(keys)
+        samples = jax.vmap(jax.vmap(
+            lambda y: jax.scipy.linalg.solve_triangular(L_w, y, lower=True, trans=1)
+        ))(samples_y)
         rhat = potential_scale_reduction(samples[:, n_samples // 4 :])
         cov = laplace_covariance(res)
         return samples, accepts, rhat, cov

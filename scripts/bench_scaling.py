@@ -113,29 +113,69 @@ def main():
             }
         )
 
-        # --- workload 3: mp-sharded APDGICP align, 1024 points/device ------
-        # (the REAL alignment: psum'd normal equations inside the LM loop)
-        from gorio_tpu.core.pointcloud import make_cloud
-        from gorio_tpu.parallel.sharded import sharded_gicp_align, sharded_optimize_graph
-        from gorio_tpu.registration.gicp import GICPConfig
+        # --- workload 3: dp-sharded batched APDGICP, 2 pairs/device --------
+        # WEAK scaling for scan-sized registration goes along the PAIR axis
+        # (multi-candidate loop verification, multi-robot), NOT the point
+        # axis: r4's "1024 points/device" workload replicated the target and
+        # grew it with n, so per-device NN work rose linearly with n (brute-
+        # force NN is O(N_local x N_total)) — its collapsing "efficiency"
+        # measured that quadratic growth, not collective overhead (VERDICT
+        # r4 weak #2). Here each device aligns its own fixed-size pairs; the
+        # only cross-device interaction is the batch sharding itself.
+        from gorio_tpu.core.pointcloud import random_cloud
+        from gorio_tpu.parallel.sharded import sharded_optimize_graph
+        from gorio_tpu.registration.gicp import GICPConfig, _gicp_align_jit
 
-        mesh_mp = Mesh(np.asarray(devs[:n]), ("mp",))
-        NPTS = 1024 * n
-        tgt_np = rng.normal(scale=3.0, size=(NPTS, 3)).astype(np.float32)
-        src_np = tgt_np + np.array([0.1, -0.05, 0.02], np.float32)
-        src = make_cloud(jnp.asarray(src_np), capacity=NPTS)
-        tgt = make_cloud(jnp.asarray(tgt_np), capacity=NPTS)
+        PAIRS_PER_DEV = 2
+        NPTS = 2048
+        B = PAIRS_PER_DEV * n
+        tgts = jax.vmap(
+            lambda k: random_cloud(k, NPTS, capacity=NPTS, dtype=jnp.float32)
+        )(jax.random.split(jax.random.PRNGKey(4), B))
+        srcs = tgts._replace(
+            xyz=tgts.xyz + jnp.asarray([0.1, -0.05, 0.02], jnp.float32)
+        )
         gcfg = GICPConfig(
             mode="apdgicp", lm=GICPConfig().lm._replace(max_iterations=8)
         )
+        eyeT = jnp.eye(4, dtype=jnp.float32)
+        srcs = jax.tree.map(lambda x: jax.device_put(x, dp), srcs)
+        tgts = jax.tree.map(lambda x: jax.device_put(x, dp), tgts)
+        balign = jax.jit(
+            jax.vmap(lambda s, t: _gicp_align_jit(s, t, eyeT, gcfg).T)
+        )
+        dt = bench(lambda: balign(srcs, tgts), reps=5)
+        results.append(
+            {
+                "workload": "apdgicp_pairs_dp",
+                "n_devices": n,
+                "pairs": B,
+                "points_per_pair": NPTS,
+                "pairs_per_s": round(B / dt, 2),
+            }
+        )
+
+        # --- workload 3b: mp-sharded APDGICP, FIXED 8192-pt pair (STRONG) --
+        # (the REAL alignment: psum'd normal equations inside the LM loop.)
+        # Point-axis sharding is a latency tool for a FIXED problem; report
+        # ms/align vs n, not a weak-scaling efficiency.
+        from gorio_tpu.core.pointcloud import make_cloud
+        from gorio_tpu.parallel.sharded import sharded_gicp_align
+
+        mesh_mp = Mesh(np.asarray(devs[:n]), ("mp",))
+        NPTS_S = 8192
+        tgt_np = rng.normal(scale=3.0, size=(NPTS_S, 3)).astype(np.float32)
+        src_np = tgt_np + np.array([0.1, -0.05, 0.02], np.float32)
+        src = make_cloud(jnp.asarray(src_np), capacity=NPTS_S)
+        tgt = make_cloud(jnp.asarray(tgt_np), capacity=NPTS_S)
         align = sharded_gicp_align(mesh_mp, gcfg, "mp")
         dt = bench(lambda: align(src, tgt).T, reps=5)
         results.append(
             {
-                "workload": "apdgicp_align",
+                "workload": "apdgicp_mp_strong",
                 "n_devices": n,
-                "points": NPTS,
-                "points_per_s": round(NPTS / dt, 0),
+                "points_total": NPTS_S,
+                "align_ms": round(dt * 1e3, 2),
             }
         )
 
@@ -181,20 +221,119 @@ def main():
         file=sys.stderr,
     )
     base = {}
+    strong_base = {}
     for r in results:
         k = r["workload"]
-        per_dev = (
-            r.get("particle_steps_per_s")
-            or r.get("windows_per_s")
-            or r.get("points_per_s")
-            or r.get("factors_per_s")
-        ) / r["n_devices"]
-        if r["n_devices"] == 1:
-            base[k] = per_dev
-        r["weak_scaling_efficiency"] = round(per_dev / base[k], 3)
-        r["host_ideal_efficiency"] = round(min(1.0, cores / r["n_devices"]), 3)
+        if "align_ms" in r:  # strong-scaling row: speedup, not efficiency
+            if r["n_devices"] == 1:
+                strong_base[k] = r["align_ms"]
+            r["speedup_vs_1dev"] = round(strong_base[k] / r["align_ms"], 3)
+            r["host_ideal_speedup"] = round(min(cores, r["n_devices"]), 3)
+        else:
+            per_dev = (
+                r.get("particle_steps_per_s")
+                or r.get("windows_per_s")
+                or r.get("pairs_per_s")
+                or r.get("factors_per_s")
+            ) / r["n_devices"]
+            if r["n_devices"] == 1:
+                base[k] = per_dev
+            r["weak_scaling_efficiency"] = round(per_dev / base[k], 3)
+            r["host_ideal_efficiency"] = round(min(1.0, cores / r["n_devices"]), 3)
         print(json.dumps(r), flush=True)
+    return results, cores
+
+
+METHOD = (
+    "scripts/bench_scaling.py on a virtual 1/2/4/8-device CPU mesh "
+    "(xla_force_host_platform_device_count). Weak-scaling rows hold "
+    "per-device work constant (smc particles/device, ugpm windows/device, "
+    "graph factors/device, apdgicp PAIRS/device); the host has "
+    "{cores} physical cores, so the host-bound ideal efficiency at n "
+    "devices is min(1, {cores}/n) (host_ideal_efficiency). Measured "
+    "efficiencies BELOW that bound are real overhead of the sharded "
+    "program on this shared-memory fake (collective emulation, "
+    "partition bookkeeping) — quantified per row rather than claimed "
+    "away; on real ICI collectives are far cheaper relative to compute, "
+    "so rows are lower bounds, but only the >= {half}-device trend "
+    "(flat vs collapsing) transfers, not the absolute numbers. "
+    "apdgicp_mp_strong is a STRONG-scaling row (fixed 8192-pt pair, "
+    "point axis sharded): point-axis mp-sharding is a latency tool for "
+    "big clouds; r4's point-weak-scaling framing was retired because "
+    "brute-force NN is O(N_local x N_total) — growing the replicated "
+    "target with n grew per-device work linearly, so its 'efficiency' "
+    "measured quadratic work growth, not sharding overhead. At 2048-pt "
+    "scan sizes, mp-sharding a single align is NOT the deployment shape; "
+    "batching pairs along dp is (apdgicp_pairs_dp)."
+)
+
+
+def north_star(bench_json: dict | None) -> dict:
+    ns = {
+        "definition": "BASELINE.md: >= 1000x reference trajectory-samples/s "
+        "on a TPU v5e-16",
+        "reference_equivalent": (
+            "the reference has NO sampling primitive: g2o returns one MAP "
+            "point estimate per optimization tick (graph_slam.cpp:353-382). "
+            "There is no defensible samples-per-second figure to assign to "
+            "it, so no numeric 'x-factor' is claimed against it (r4's "
+            "invented 0.3-0.5 hypotheses/s figure is retired). The margin "
+            "claim is grounded in the measured quality-normalized rate "
+            "below: independent EFFECTIVE draws/s from the 300-dof "
+            "trajectory posterior on ONE chip; chains shard embarrassingly "
+            "across a v5e-16 (16x, ICI only touches R-hat diagnostics)."
+        ),
+    }
+    if bench_json:
+        for k in (
+            "hmc_samples_per_s",
+            "hmc_ess_min_per_s",
+            "hmc_ess_median_per_s",
+            "hmc_rhat_max",
+            "hmc_accept_mean",
+        ):
+            if k in bench_json:
+                ns[k] = bench_json[k]
+        ns["quality_note"] = (
+            "ESS via the multi-chain Geyer estimator "
+            "(gorio_tpu.inference.hmc.chain_ess), split R-hat, acceptance "
+            "from the same run (bench.py, 16 chains x 256 draws, "
+            "overdispersed inits). ESS/s — not raw samples/s — is the rate "
+            "a skeptic should quote; raw samples/s is reported for "
+            "round-over-round continuity."
+        )
+    return ns
+
+
+def main_cli():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true", help="write SCALING.json")
+    ap.add_argument(
+        "--bench", default=None,
+        help="bench.py output JSON (one line) to source hmc ESS/R-hat "
+        "numbers for the north-star section",
+    )
+    args = ap.parse_args()
+    results, cores = main()
+    bench_json = None
+    if args.bench:
+        with open(args.bench) as fh:
+            bench_json = json.load(fh)
+    out = {
+        "method": METHOD.format(cores=cores, half=max(2, cores)),
+        "north_star": north_star(bench_json),
+        "weak_scaling": [r for r in results if "align_ms" not in r],
+        "strong_scaling_mp": [r for r in results if "align_ms" in r],
+    }
+    if args.update:
+        from pathlib import Path
+
+        p = Path(__file__).resolve().parent.parent / "SCALING.json"
+        p.write_text(json.dumps(out, indent=2) + "\n")
+        print(f"wrote {p}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    main_cli()

@@ -225,11 +225,25 @@ def main():
         overrides[k] = v
     det, loops = replay(rec, overrides)
     cls = classify(rec, loops)
+    # region-level recall on the recorded ground truth — the SAME metric
+    # RECALL.json stores (scripts/recall_benchmark.analyze), so replay
+    # screening optimizes the number that actually gates the artifact
+    from scripts.recall_benchmark import analyze
+
+    regions = analyze(
+        rec["kf_stamps"],
+        [(int(l.key_new), int(l.key_old), float(l.fitness)) for l in loops],
+        rec["gt_stamps"], rec["gt_pos"],
+    )
     print(json.dumps({
         "overrides": overrides,
         "n_loops": len(loops),
         "loops": cls,
         "n_false": sum(1 for c in cls if not c[3]),
+        "recall_regions": regions["recall_regions"],
+        "n_regions": regions["n_regions"],
+        "n_regions_covered": regions["n_regions_covered"],
+        "precision": regions["precision"],
         "gate_counts": det.gate_counts,
     }))
     if args.log:

@@ -191,3 +191,35 @@ def test_mesh_helpers():
     x = jnp.arange(16.0).reshape(8, 2)
     xs = shard_batch(mesh, x, "dp")
     np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_chain_ess_ar1():
+    """`chain_ess` recovers the analytic ESS of AR(1) chains:
+    ESS/N = (1-phi)/(1+phi) — and ~N for white noise."""
+    from gorio_tpu.inference.hmc import chain_ess
+
+    rng = np.random.default_rng(0)
+    m, n = 8, 4000
+    white = rng.normal(size=(m, n, 1))
+    ess_w = chain_ess(white)[0]
+    assert 0.6 * m * n < ess_w <= m * n, ess_w
+    for phi, tol in ((0.5, 0.25), (0.9, 0.3)):
+        x = np.zeros((m, n))
+        e = rng.normal(size=(m, n))
+        for t in range(1, n):
+            x[:, t] = phi * x[:, t - 1] + e[:, t]
+        ess = chain_ess(x[:, :, None])[0]
+        expect = m * n * (1 - phi) / (1 + phi)
+        assert abs(ess - expect) / expect < tol, (phi, ess, expect)
+
+
+def test_chain_ess_flags_stuck_chain():
+    """A chain that never moves must yield a tiny ESS, not n."""
+    from gorio_tpu.inference.hmc import chain_ess
+
+    rng = np.random.default_rng(1)
+    m, n = 4, 1000
+    x = np.repeat(rng.normal(size=(m, 1, 2)), n, axis=1)
+    x += 1e-6 * rng.normal(size=x.shape)  # break exact-constant degeneracy
+    ess = chain_ess(x)
+    assert np.all(ess < 0.05 * m * n), ess
