@@ -43,7 +43,7 @@ def cmd_simulate(args):
     out.mkdir(parents=True, exist_ok=True)
     traj = simulate_trajectory(
         seed=args.seed, duration=args.duration, circuit=args.circuit, stops=args.stops,
-        laps=args.laps,
+        laps=args.laps, figure8=args.figure8, elev_amp=args.elev_amp,
     )
     imu = sample_imu(traj, seed=args.seed + 1)
     # the landmark field must cover everywhere the trajectory can see: extent
@@ -692,6 +692,11 @@ def main(argv=None):
                    help="closed-loop trajectory (revisits the start; exercises loop closure)")
     s.add_argument("--laps", type=float, default=1.0,
                    help="circuit laps within --duration (2+ = NTU loop2/loop3-style multi-revisit)")
+    s.add_argument("--figure8", action="store_true",
+                   help="figure-8 trajectory (two opposite-yaw lobes per lap; "
+                   "crossing-point revisits — the held-out loop-closure geometry)")
+    s.add_argument("--elev-amp", type=float, default=0.0, dest="elev_amp",
+                   help="vertical-velocity amplitude (m/s) for a gentle elevation profile")
     s.add_argument("--output", required=True)
     s.add_argument("--duration", type=float, default=20.0)
     s.add_argument("--rate", type=float, default=5.0)

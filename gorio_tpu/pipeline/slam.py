@@ -260,7 +260,7 @@ class RadarGraphSLAM:
         T[:3, 3] = out[9:12]
         return T, out[12:48].reshape(6, 6)
 
-    def _flush_gps_queue(self, est) -> None:
+    def _flush_gps_queue(self, est, keyframes=None) -> None:
         """Associate queued GPS fixes to keyframes and apply the reference's
         gate chain (`flush_gps_queue`, `radar_graph_slam_nodelet.cpp:1248-1327`):
 
@@ -274,12 +274,14 @@ class RadarGraphSLAM:
 
         Consumed fixes older than the newest keyframe are dropped (`:1322`).
         """
-        if not self.gps_queue or not self.keyframes:
+        if keyframes is None:
+            keyframes = list(self.keyframes)
+        if not self.gps_queue or not keyframes:
             return
         cfg = self.cfg
         q_stamps = np.asarray([g.stamp for g in self.gps_queue])
         last_idx = getattr(self, "_last_gps_edge_index", -(10**9))
-        for kf in self.keyframes:
+        for kf in keyframes:
             if kf.index - last_idx < cfg.gps_edge_intervals:
                 continue
             if kf.utm_coord is not None:
@@ -310,7 +312,7 @@ class RadarGraphSLAM:
             kf._gps_info = info
             last_idx = kf.index
         self._last_gps_edge_index = last_idx
-        newest = self.keyframes[-1].stamp
+        newest = keyframes[-1].stamp
         self.gps_queue = [g for g in self.gps_queue if g.stamp > newest]
 
     # ---- optimization cycle (`optimization_timer_callback`, `:750-834`) --
@@ -322,12 +324,19 @@ class RadarGraphSLAM:
         (smoothed) estimate, and loop closures reaching older keyframes enter
         as priors through the frozen pose. Cost per cycle is O(W^3) regardless
         of trajectory length — the long-sequence mode the reference handles by
-        queue batching (`max_keyframes_per_update`, `:552`)."""
-        K = len(self.keyframes)
+        queue batching (`max_keyframes_per_update`, `:552`).
+
+        Thread-safety: the keyframe list is SNAPSHOT once up front, so this
+        may run on a timer/background thread concurrent with `add_frame`
+        (the reference's optimization-timer + mutexed keyframe queue,
+        `radar_graph_slam_nodelet.cpp:750`; here the snapshot replaces the
+        mutex — frames arriving mid-cycle are picked up next cycle)."""
+        keyframes = list(self.keyframes)  # atomic snapshot under the GIL
+        K = len(keyframes)
         if K < 2:
             return None
         base = 0 if (window is None or K <= window) else K - window
-        kfs = self.keyframes[base:]
+        kfs = keyframes[base:]
 
         def est(kf):
             return kf.optimized_pose if kf.optimized_pose is not None else kf.odom_scan2scan
@@ -359,13 +368,13 @@ class RadarGraphSLAM:
         # keyframe-queue batching, `:552` — here it bounds the vmapped batch
         # shapes rather than deferring work)
         if self.cfg.enable_loop_closure and K > 3:
-            poses_arr = np.stack([est(kf) for kf in self.keyframes])
-            odom_arr = np.stack([kf.odom_scan2scan for kf in self.keyframes])
-            accum_arr = np.asarray([kf.accum_distance for kf in self.keyframes])
-            clouds = [kf.cloud for kf in self.keyframes]
-            alts = [kf.altitude for kf in self.keyframes]
+            poses_arr = np.stack([est(kf) for kf in keyframes])
+            odom_arr = np.stack([kf.odom_scan2scan for kf in keyframes])
+            accum_arr = np.asarray([kf.accum_distance for kf in keyframes])
+            clouds = [kf.cloud for kf in keyframes]
+            alts = [kf.altitude for kf in keyframes]
             start = getattr(self, "_loop_checked_upto", 0)
-            new_idx = [kf.index for kf in self.keyframes[start:]]
+            new_idx = [kf.index for kf in keyframes[start:]]
             chunk = max(self.cfg.max_keyframes_per_update, 1)
             for c in range(0, len(new_idx), chunk):
                 self.loops.extend(
@@ -387,7 +396,7 @@ class RadarGraphSLAM:
                 )
             else:
                 # old endpoint frozen: T_new ~ T_old_frozen @ T_rel as a prior
-                T_prior = est(self.keyframes[loop.key_old]) @ loop.T_rel
+                T_prior = est(keyframes[loop.key_old]) @ loop.T_rel
                 g.add_prior(
                     j, T_prior,
                     info=loop.information, robust_delta=self.cfg.loop_robust_delta,
@@ -396,7 +405,7 @@ class RadarGraphSLAM:
         # GPS priors (`flush_gps_queue`, `:1248-1327`): associate by stamp,
         # then run the reference's gate chain (edge spacing, covariance gate,
         # 5 m drift gate) — keyframes that pass carry a persistent utm_coord
-        self._flush_gps_queue(est)
+        self._flush_gps_queue(est, keyframes)
         for k, kf in enumerate(kfs):
             if kf.utm_coord is None or not getattr(kf, "_gps_edge", False):
                 continue
@@ -476,7 +485,7 @@ class RadarGraphSLAM:
             kf.optimized_pose = opt[k]
         self._opt_poses = opt
         # map<-odom correction (`trans_odom2map`)
-        last = self.keyframes[-1]
+        last = keyframes[-1]
         self.trans_odom2map = last.optimized_pose @ np.linalg.inv(last.odom_scan2scan)
         return opt
 

@@ -41,6 +41,10 @@ class StreamReport:
     n_dropped: int = 0
     n_keyframes: int = 0
     n_loops: int = 0
+    n_opt_cycles: int = 0
+    n_opt_skipped: int = 0  # optimize ticks skipped: previous cycle still running
+    opt_p50_ms: float = 0.0
+    opt_max_ms: float = 0.0
     on_time_frac: float = 0.0
     latency_p50_ms: float = 0.0
     latency_p95_ms: float = 0.0
@@ -66,6 +70,7 @@ def stream_sequence(
     capacity: int = 2048,
     optimize_every: int = 0,
     optimize_window: int = 0,
+    optimize_async: bool = False,
     ground: bool = False,
 ) -> StreamReport:
     """Replay `frames` (.grf paths) against wall clock. Returns the report.
@@ -147,6 +152,27 @@ def stream_sequence(
     n_processed = 0
     prev_stamp = None
     period_est = []
+    # async optimize: the reference runs its optimization timer on its own
+    # thread concurrent with 10 Hz ingest (`radar_graph_slam_nodelet.cpp:
+    # 750-834`); here a single worker thread plays that role. A tick that
+    # fires while the previous cycle is still running is SKIPPED (a timer
+    # callback cannot overlap itself) and counted. `slam.optimize` snapshots
+    # the keyframe list up front, so the frontend keeps appending safely.
+    opt_executor = None
+    opt_future = None
+    opt_times: list = []
+    n_opt = 0
+    n_opt_skipped = 0
+    if optimize_every and optimize_async:
+        from concurrent.futures import ThreadPoolExecutor
+
+        opt_executor = ThreadPoolExecutor(max_workers=1)
+
+    def run_optimize():
+        t0 = time.monotonic()
+        slam.optimize(window=optimize_window or None)
+        opt_times.append(time.monotonic() - t0)
+
     try:
         while True:
             item = q.get()
@@ -166,7 +192,17 @@ def stream_sequence(
                 floor = odo.last_plane
             slam.add_frame(float(stamp), odo.last_cloud, pose, floor_coeffs=floor)
             if optimize_every and len(slam.keyframes) % optimize_every == 0:
-                slam.optimize(window=optimize_window or None)
+                if opt_executor is not None:
+                    if opt_future is None or opt_future.done():
+                        if opt_future is not None:
+                            opt_future.result()  # surface exceptions
+                        opt_future = opt_executor.submit(run_optimize)
+                        n_opt += 1
+                    else:
+                        n_opt_skipped += 1
+                else:
+                    run_optimize()
+                    n_opt += 1
             lat = time.monotonic() - t_release
             latencies.append(lat)
             if prev_stamp is not None:
@@ -176,18 +212,27 @@ def stream_sequence(
     finally:
         stop.set()
         th.join(timeout=5)
+        if opt_executor is not None:
+            if opt_future is not None:
+                opt_future.result()
+            opt_executor.shutdown(wait=True)
 
     wall = time.monotonic() - t_start
     period = float(np.median(period_est)) / rate_multiplier if period_est else 0.1
     lat = np.asarray(latencies) if latencies else np.zeros(1)
     on_time = float(np.mean(lat <= period)) if latencies else 0.0
     rec_span = (last_stamp - first_stamp) if (first_stamp is not None and last_stamp) else 0.0
+    opt_arr = np.asarray(opt_times) if opt_times else np.zeros(1)
     return StreamReport(
         n_frames=n_frames,
         n_processed=n_processed,
         n_dropped=n_dropped,
         n_keyframes=len(slam.keyframes),
         n_loops=len(slam.loops),
+        n_opt_cycles=n_opt,
+        n_opt_skipped=n_opt_skipped,
+        opt_p50_ms=round(float(np.percentile(opt_arr, 50)) * 1e3, 2) if opt_times else 0.0,
+        opt_max_ms=round(float(opt_arr.max()) * 1e3, 2) if opt_times else 0.0,
         on_time_frac=round(on_time, 4),
         latency_p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 2),
         latency_p95_ms=round(float(np.percentile(lat, 95)) * 1e3, 2),

@@ -79,6 +79,20 @@ SEQUENCES = {
         "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm",
                  "--optimize-every", "15"],
     },
+    # HELD-OUT sequence (VERDICT r4 weak #6): a geometry family NO detector
+    # threshold was ever tuned on — 2.5 figure-8s (opposite-yaw lobes;
+    # crossing-point revisits with heading differences and both-lobe
+    # approaches the circuits never produce; ~300 m path) plus a gentle
+    # elevation profile. Used only for validation of the loop stack, never
+    # for gate screening (the replay/sweep tooling operates on circuit2/3).
+    "figure8": {
+        "simulate": [
+            "--duration", "150", "--rate", "5", "--seed", "77", "--figure8",
+            "--laps", "2.5", "--elev-amp", "0.12", "--dynamic", "2",
+        ],
+        "slam": ["--fused", "--preprocess", "--floor", "--preint", "ugpm",
+                 "--optimize-every", "15"],
+    },
 }
 
 

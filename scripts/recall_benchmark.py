@@ -67,6 +67,13 @@ SEQUENCES = {
         "simulate": ["--duration", "115", "--rate", "5", "--seed", "23",
                      "--circuit", "--laps", "3", "--dynamic", "2"],
     },
+    # HELD-OUT figure-8 (VERDICT r4 weak #6): never used for gate screening —
+    # see scripts/accuracy_benchmark.py for the rationale
+    "figure8": {
+        "simulate": ["--duration", "150", "--rate", "5", "--seed", "77",
+                     "--figure8", "--laps", "2.5", "--elev-amp", "0.12",
+                     "--dynamic", "2"],
+    },
 }
 
 SLAM_ARGS = ["--fused", "--preprocess", "--floor", "--preint", "ugpm",

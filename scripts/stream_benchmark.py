@@ -46,7 +46,12 @@ STREAM_JSON = REPO / "STREAM.json"
 STREAM_TPU_JSON = REPO / "STREAM_TPU.json"
 
 
-def run(rate: float, mode: str, workdir=None) -> dict:
+def run(rate: float, mode: str, workdir=None, loops: bool = True) -> dict:
+    """Wall-clock replay of the recall CIRCUIT sequence with the FULL backend
+    in the loop: loop closure enabled and periodic optimization running on
+    the async worker thread at the reference's 2-3 s cadence
+    (`radar_graph_slam_nodelet.cpp:750-834` — VERDICT r4 item 2: real-time
+    and loop closure must be simultaneously true, not proven separately)."""
     import numpy as np
 
     from gorio_tpu.cli import main
@@ -58,13 +63,15 @@ def run(rate: float, mode: str, workdir=None) -> dict:
     base = Path(workdir or tempfile.mkdtemp(prefix="gorio_stream_"))
     ds = base / "seq"
     if not (ds / "imu.npz").exists():
+        # the stored-accuracy circuit (same generator args as RECALL.json's
+        # circuit2): two laps, revisits => real loop-closure work mid-stream
         main([
-            "simulate", "--output", str(ds), "--duration", "20", "--rate", "5",
-            "--seed", "31", "--dynamic", "2",
+            "simulate", "--output", str(ds), "--duration", "75", "--rate", "5",
+            "--seed", "22", "--circuit", "--laps", "2", "--dynamic", "2",
         ])
     imu = np.load(ds / "imu.npz")
     slam = RadarGraphSLAM(SLAMConfig(
-        enable_loop_closure=False,
+        enable_loop_closure=loops,
         gyr_var=float(imu["gyr_var"]), vel_var=float(imu["vel_var"]),
     ))
     for t, g in zip(imu["gyr_t"], imu["gyr"]):
@@ -88,8 +95,20 @@ def run(rate: float, mode: str, workdir=None) -> dict:
     report = stream_sequence(
         frames, slam, odo, imu={"gyr_t": imu["gyr_t"], "gyr": imu["gyr"]},
         rate_multiplier=rate, mode=mode, capacity=2048,
+        # ~3 s cadence at 5 Hz keyframes; async like the reference's timer
+        optimize_every=(15 if loops else 0), optimize_async=True,
     )
-    return json.loads(report.to_json())
+    out = json.loads(report.to_json())
+    # trajectory quality of THIS streamed run (loops must not only fire but
+    # help): final (untimed) optimize like the reference's save path, then
+    # ATE against the recording's ground truth
+    slam.optimize()
+    from gorio_tpu.io.tum import ate_rmse, load_tum
+
+    gs, gp = load_tum(ds / "groundtruth.tum")
+    st, sp = slam.trajectory()
+    out["ate_rmse_m"] = round(float(ate_rmse(st, sp, np.asarray(gs), gp)), 4)
+    return out
 
 
 def main_cli():

@@ -30,8 +30,8 @@ ACCURACY_JSON = REPO / "ACCURACY.json"
 # absolute ATE ceilings (m): ~2% of path length (straight ~80 m at 2 m/s,
 # circuit ~120 m around the loop) — the reference-class bar is ~1-2% of path
 # (BASELINE.md: <=1.05x reference ATE)
-ATE_CEILING_M = {"straight": 1.6, "circuit": 2.5}
-RTE_CEILING_M = {"straight": 1.6, "circuit": 2.5}
+ATE_CEILING_M = {"straight": 1.6, "circuit": 2.5, "figure8": 3.0}
+RTE_CEILING_M = {"straight": 1.6, "circuit": 2.5, "figure8": 3.0}
 
 sys.path.insert(0, str(REPO / "scripts"))
 
@@ -44,7 +44,7 @@ def _stored():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seq", ["straight", "circuit"])
+@pytest.mark.parametrize("seq", ["straight", "circuit", "figure8"])
 def test_accuracy_vs_stored(seq, tmp_path):
     from accuracy_benchmark import run_sequence
 

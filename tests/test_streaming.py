@@ -114,3 +114,26 @@ def test_stream_producer_error_propagates(tiny_sequence, tmp_path):
     with pytest.raises(Exception):
         stream_sequence(frames, slam, odo, rate_multiplier=50.0, mode="block",
                         capacity=512)
+
+
+def test_stream_async_optimize(tiny_sequence):
+    """Async periodic optimization runs on the worker thread concurrent with
+    ingest (the reference's optimization-timer thread,
+    `radar_graph_slam_nodelet.cpp:750-834`), cycles are counted+timed, and
+    the optimized correction lands (trans_odom2map != I)."""
+    imu = np.load(tiny_sequence / "imu.npz")
+    slam = RadarGraphSLAM(SLAMConfig(enable_loop_closure=False, enable_preintegration=False))
+    for t, g in zip(imu["gyr_t"], imu["gyr"]):
+        slam.push_imu(t, g)
+    odo = ScanMatchingOdometry(OdometryConfig())
+    frames = sorted(tiny_sequence.glob("*.grf"))
+    report = stream_sequence(
+        frames, slam, odo, imu={"gyr_t": imu["gyr_t"], "gyr": imu["gyr"]},
+        rate_multiplier=8.0, mode="block", capacity=512,
+        optimize_every=5, optimize_async=True,
+    )
+    assert report.n_processed == 26
+    assert report.n_opt_cycles >= 1
+    assert report.opt_max_ms > 0
+    # every keyframe that an optimize cycle covered carries an optimized pose
+    assert any(kf.optimized_pose is not None for kf in slam.keyframes)
