@@ -86,14 +86,13 @@ class LoopConfig(NamedTuple):
     # contains the match displacement itself, far above the allowance.
     pairwise_drift_scaled: bool = True
     # base radius of the since-last-loop drift ellipse (reference hardcodes
-    # 3.0, `loop_detector.cpp:171`). With a well-corrected estimate the
-    # candidate-to-current displacement approaches the TRUE revisit offset —
-    # revisits up to ~5 m of genuine lateral offset are real loops the 3 m
-    # floor shadows right after an accept (r4 recall: ellipse_since_last_loop
-    # was the #1 rejection on circuit2, 81 counts). The verification +
-    # fallback_trans + pairwise chain carries the precision burden; measured
-    # on both recall circuits + the held-out sequence before changing.
-    ellipse_base: float = 6.0
+    # 3.0, `loop_detector.cpp:171`). Kept at parity: widening it to 6 was
+    # MEASURED WORSE on the recall circuit (replay sweep r5: 1 accepted loop
+    # vs 4 — the wider eligibility admits descriptor-strong but
+    # geometry-weak matches as DIRECT matches, which bypass the
+    # fallback-translation gate, verify onto ~5 m-offset poses, and poison
+    # the pairwise chain for every later candidate).
+    ellipse_base: float = 3.0
     # pairwise consistency compares against the accepted loop with the
     # SMALLEST odometry-span distance to the candidate cycle (the reference
     # always uses the most recent, `loop_detector.cpp:281-283` — after a

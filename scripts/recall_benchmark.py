@@ -19,7 +19,17 @@ revisit region maximal run of consecutive new-keyframe indices j that have at
                (`last_loop_accum` gate), so regions are the honest unit of
                recall: each region is one *opportunity* the detector could
                have taken.
-recall         fraction of regions containing the key_new of an accepted loop.
+recall         fraction of regions containing EITHER endpoint (key_new or
+               key_old) of a true accepted loop. Both endpoints count
+               because a region is a physical stretch of trajectory and one
+               loop pins both of its places to each other — and because the
+               key_new-only variant (r4's metric, kept as
+               `recall_key_new_only`) is structurally capped: on a 2-lap
+               circuit the first lap's regions can never host a key_new
+               (their partners all come LATER in traveled distance), so its
+               ceiling is n_regions_reachable_new / n_regions — measured
+               EXACTLY 0.600 on circuit2, i.e. a perfect detector could not
+               exceed it. Both numbers plus the ceiling are stored.
 false accept   accepted loop whose GT endpoint distance exceeds
                `false_radius` (loops between places that were never actually
                co-located).
@@ -118,18 +128,29 @@ def analyze(kf_stamps, loops, gt_stamps, gt_pos, accum_gate=50.0,
     if cur is not None:
         regions.append(cur)
 
-    hits = 0
     true_accepts, false_accepts = 0, 0
     for key_new, key_old, _fit in loops:
         if d[key_new, key_old] <= false_radius:
             true_accepts += 1
         else:
             false_accepts += 1
-    covered = set()
+    covered, covered_new_only = set(), set()
     for k, (j0, j1, _) in enumerate(regions):
         for key_new, key_old, _fit in loops:
-            if j0 <= key_new <= j1 and d[key_new, key_old] <= false_radius:
+            if d[key_new, key_old] > false_radius:
+                continue
+            if j0 <= key_new <= j1:
                 covered.add(k)
+                covered_new_only.add(k)
+            if j0 <= key_old <= j1:
+                covered.add(k)
+    # structural ceiling of the key_new-only metric: regions with no index
+    # that has an OLDER partner can never host a key_new
+    can_be_new = np.array(
+        [bool((elig[j, :j] & (accum[j] - accum[:j] > accum_gate)).any())
+         for j in range(n)]
+    )
+    n_reachable = sum(1 for j0, j1, _ in regions if can_be_new[j0 : j1 + 1].any())
     hits = len(covered)
     return {
         "n_keyframes": n,
@@ -140,6 +161,11 @@ def analyze(kf_stamps, loops, gt_stamps, gt_pos, accum_gate=50.0,
         "n_false_accepts": false_accepts,
         "n_regions_covered": hits,
         "recall_regions": round(hits / max(len(regions), 1), 4),
+        "recall_key_new_only": round(
+            len(covered_new_only) / max(len(regions), 1), 4
+        ),
+        "n_regions_reachable_new": int(n_reachable),
+        "key_new_only_ceiling": round(n_reachable / max(len(regions), 1), 4),
         "precision": round(true_accepts / max(len(loops), 1), 4) if loops else 1.0,
         "revisit_radius_m": revisit_radius,
         "false_radius_m": false_radius,
