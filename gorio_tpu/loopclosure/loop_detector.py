@@ -56,6 +56,14 @@ class LoopConfig(NamedTuple):
     # co-location; reject a fallback whose VERIFIED relative translation
     # exceeds this — displaced-basin "successes" otherwise enter the chain
     fallback_max_trans: float = 5.0
+    # apply the same verified-translation ceiling to DIRECT matches too.
+    # The candidate ellipse asserts co-location for every match; a verified
+    # transform that moves the keyframe far beyond the ellipse radius
+    # contradicts the gate that admitted it (displaced basin). Without this,
+    # widening ellipse_base lets descriptor-strong/geometry-weak direct
+    # matches verify onto ~5 m-offset poses and poison the pairwise chain
+    # (measured, r5 replay sweep).
+    trans_gate_all: bool = True
     enable_odom_check: bool = True
     odom_check_trans_thresh: float = 0.3
     odom_check_rot_thresh: float = 0.05
@@ -108,6 +116,17 @@ class LoopConfig(NamedTuple):
     # drift; a displaced-basin false match adds its own displacement, which
     # this cap keeps rejectable at any span length.
     pairwise_trans_cap: float = 8.0
+    # number of Scan-Context candidates VERIFIED per new keyframe (the
+    # reference verifies only the single descriptor-best match,
+    # `Scancontext.cpp:352-360`). On TPU extra candidates ride the same
+    # vmapped registration batch — near-zero marginal latency — and recover
+    # revisits whose best match fails verification or an acceptance gate.
+    # Per keyframe the candidate list is: the global match (if it passes the
+    # find_candidates gates) followed by gated-search matches, deduplicated,
+    # capped at this count; candidates are tried in verified-fitness order
+    # and at most one loop is accepted per keyframe. 1 = reference-shaped
+    # single-candidate behavior.
+    sc_candidates: int = 2
 
 
 class Loop(NamedTuple):
@@ -136,6 +155,21 @@ def _sc_match_batch(db: "ScanContextDB", idxs, cfg: ScanContextConfig, masks=Non
 
     if masks is None:
         return jax.vmap(lambda i: one(i, None))(idxs)
+    return jax.vmap(one)(idxs, masks)
+
+
+@partial(jax.jit, static_argnames=("cfg", "k"))
+def _sc_match_batch_topk(db: "ScanContextDB", idxs, cfg: ScanContextConfig,
+                         masks, k: int):
+    """vmapped `detect_loop_topk` (gated search, several candidates each)."""
+    from .scancontext import detect_loop_topk
+
+    def one(i, mk):
+        return detect_loop_topk(
+            db._replace(count=i.astype(jnp.int32)), db.descs[i], cfg,
+            cand_mask=mk, k=k,
+        )
+
     return jax.vmap(one)(idxs, masks)
 
 
@@ -395,6 +429,9 @@ class LoopDetector:
             self._count("fitness")
             return None
         T_rel = np.asarray(res.T)  # maps new-frame points into old frame
+        if cfg.trans_gate_all and np.linalg.norm(T_rel[:3, 3]) > cfg.fallback_max_trans:
+            self._count("fallback_trans")  # see detect_batch: co-location gate
+            return None
 
         if cfg.enable_odom_check:
             T_loop_ij = np.linalg.inv(T_rel)
@@ -510,35 +547,38 @@ class LoopDetector:
         matches_g, yaws_g, dists_g = _sc_match_batch(
             self.db, jnp.asarray(idxs_p), self.sc_cfg
         )
-        matches_m, yaws_m, dists_m = _sc_match_batch(
-            self.db, jnp.asarray(idxs_p), self.sc_cfg, masks=jnp.asarray(masks)
-        )
+        K_SC = max(1, int(cfg.sc_candidates))
+        if K_SC == 1:
+            matches_m, yaws_m, dists_m = _sc_match_batch(
+                self.db, jnp.asarray(idxs_p), self.sc_cfg, masks=jnp.asarray(masks)
+            )
+            matches_m = np.asarray(matches_m)[:n_new, None]
+        else:
+            matches_m, yaws_m, dists_m = _sc_match_batch_topk(
+                self.db, jnp.asarray(idxs_p), self.sc_cfg, jnp.asarray(masks),
+                K_SC,
+            )
+            matches_m = np.asarray(matches_m)[:n_new]
         matches_g = np.asarray(matches_g)[:n_new]
         yaws_g = np.asarray(yaws_g)[:n_new]
         dists_g = np.asarray(dists_g)[:n_new]
-        matches_m = np.asarray(matches_m)[:n_new]
-        yaws_m = np.asarray(yaws_m)[:n_new]
-        dists_m = np.asarray(dists_m)[:n_new]
         no_eligible = ~masks[:n_new].any(axis=1)
 
-        # per-entry selection: global match if it passes the gates, else the
-        # gated fallback (which passes them by construction)
-        matches = np.full(n_new, -1, np.int32)
-        yaws = yaws_g.copy()
-        dists = dists_g.copy()
-        used_fallback = np.zeros(n_new, bool)
+        # per-keyframe candidate lists (see LoopConfig.sc_candidates): the
+        # gate-passing global match first, then gated-search matches,
+        # deduplicated, at most K_SC entries
+        cand_lists: list = [[] for _ in range(n_new)]
         for k, i in enumerate(idxs):
             i = int(i)
+            cl = cand_lists[k]
             mg = int(matches_g[k])
             if mg >= 0 and masks[k, mg]:
-                matches[k] = mg
-                continue
-            if int(matches_m[k]) >= 0:
-                matches[k] = int(matches_m[k])
-                yaws[k] = yaws_m[k]
-                dists[k] = dists_m[k]
-                used_fallback[k] = True
-                self._count("gated_fallback_match")
+                cl.append((mg, False))
+            for r in range(matches_m.shape[1]):
+                mm = int(matches_m[k, r])
+                if mm >= 0 and len(cl) < K_SC and all(mm != c0 for c0, _ in cl):
+                    cl.append((mm, True))
+                    self._count("gated_fallback_match")
 
         # ---- stage 2: host prefilter before the expensive verification.
         # Both gates are safe w.r.t. in-batch accepts: last_loop_accum only
@@ -548,9 +588,9 @@ class LoopDetector:
         # batch-start value is a superset of the exact gate (which the accept
         # chain re-runs). Mirrors `find_candidates` (`loop_detector.cpp:139`).
         pairs = []
-        for k, (i, m) in enumerate(zip(idxs, matches)):
-            i, m = int(i), int(m)
-            if m < 0:
+        for k, i in enumerate(idxs):
+            i = int(i)
+            if not cand_lists[k]:
                 mg = int(matches_g[k])
                 if mg >= 0 and not masks[k, mg]:
                     # the global match failed a gate and no gated candidate
@@ -574,16 +614,17 @@ class LoopDetector:
             if dist_since0 < cfg.min_loop_interval_dist:
                 self._count("interval")
                 continue
-            reason = candidate_gate_reason(
-                poses[i][:3, 3], yaw_all[i], accum[i],
-                poses[m][:3, 3], yaw_all[m], accum[m], dist_since0, cfg,
-                new_alt=None if keyframe_altitudes is None else keyframe_altitudes[i],
-                old_alt=None if keyframe_altitudes is None else keyframe_altitudes[m],
-            )
-            if reason:
-                self._count(reason)
-                continue
-            pairs.append((i, m, bool(used_fallback[k])))
+            for m, fb in cand_lists[k]:
+                reason = candidate_gate_reason(
+                    poses[i][:3, 3], yaw_all[i], accum[i],
+                    poses[m][:3, 3], yaw_all[m], accum[m], dist_since0, cfg,
+                    new_alt=None if keyframe_altitudes is None else keyframe_altitudes[i],
+                    old_alt=None if keyframe_altitudes is None else keyframe_altitudes[m],
+                )
+                if reason:
+                    self._count(reason)
+                    continue
+                pairs.append((i, m, fb))
         if not pairs:
             return []
 
@@ -628,8 +669,20 @@ class LoopDetector:
             fits[members] = np.asarray(f_g)[: len(gp)]
 
         # ---- stage 4: sequential accept chain (host) -----------------------
-        accepted = []
+        # keyframes ascending; a keyframe's candidates in verified-fitness
+        # order; at most ONE accepted loop per keyframe
+        by_i: dict = {}
         for n, (i, m, fb) in enumerate(pairs):
+            by_i.setdefault(i, []).append(n)
+        order = []
+        for i in sorted(by_i):
+            order.extend(sorted(by_i[i], key=lambda n: fits[n]))
+        accepted = []
+        accepted_i = set()
+        for n in order:
+            i, m, fb = pairs[n]
+            if i in accepted_i:
+                continue
             T_rel = Ts[n]
             est_rel = np.linalg.inv(poses[m]) @ poses[i]
             rec = {
@@ -672,11 +725,15 @@ class LoopDetector:
                 rec["gate"] = reason
                 self._count(reason)
                 continue
-            if fb and np.linalg.norm(T_rel[:3, 3]) > cfg.fallback_max_trans:
-                # a fallback match asserts CO-LOCATION; a verified transform
-                # that moves the keyframe far is a displaced-basin "success"
-                # (SC descriptors are weakly discriminative on repetitive
-                # scenes) — reject before it can poison the pairwise chain
+            if (fb or cfg.trans_gate_all) and (
+                np.linalg.norm(T_rel[:3, 3]) > cfg.fallback_max_trans
+            ):
+                # the match asserts CO-LOCATION (fallbacks by construction;
+                # direct matches via the candidate ellipse); a verified
+                # transform that moves the keyframe far is a displaced-basin
+                # "success" (SC descriptors are weakly discriminative on
+                # repetitive scenes) — reject before it can poison the
+                # pairwise chain
                 rec["gate"] = "fallback_trans"
                 self._count("fallback_trans")
                 continue
@@ -726,4 +783,5 @@ class LoopDetector:
             self.last_loop_accum = float(new_accum)
             self._count("accepted")
             accepted.append(loop)
+            accepted_i.add(i)
         return accepted

@@ -142,6 +142,41 @@ class ScanContextDB(NamedTuple):
         )
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"))
+def detect_loop_topk(
+    db: ScanContextDB, query_desc, cfg: ScanContextConfig = ScanContextConfig(),
+    cand_mask=None, k: int = 2,
+):
+    """Top-`k` loop candidates by full shifted-cosine distance (same search
+    as `detect_loop`; the reference keeps only the single best of its
+    ring-key candidates, `Scancontext.cpp:352-360`). Verifying several
+    candidates costs one WIDER registration batch on TPU — same latency —
+    and recovers revisits whose descriptor-best match fails verification or
+    an acceptance gate. Returns (matches (k,), yaws (k,), dists (k,)),
+    ordered best-first; entries above the distance threshold are -1."""
+    qk = ring_key(query_desc)
+    n = db.ring_keys.shape[0]
+    idxs = jnp.arange(n)
+    eligible = idxs < jnp.maximum(db.count - cfg.num_exclude_recent, 0)
+    if cand_mask is not None:
+        eligible = eligible & cand_mask
+    d2 = jnp.sum((db.ring_keys - qk[None, :]) ** 2, axis=-1)
+    d2 = jnp.where(eligible, d2, jnp.inf)
+    _, cand = jax.lax.top_k(-d2, cfg.num_candidates)
+    dists, shifts = jax.vmap(lambda c: sc_distance(query_desc, db.descs[c]))(cand)
+    dists = jnp.where(jnp.isinf(d2[cand]), jnp.inf, dists)
+    order = jnp.argsort(dists)[: min(k, cfg.num_candidates)]
+    top_d = dists[order]
+    ok = top_d < cfg.dist_threshold
+    matches = jnp.where(ok, cand[order], -1)
+    sector_angle = 2 * cfg.azimuth_max_deg / cfg.num_sector
+    half = cfg.num_sector // 2
+    shift = shifts[order]
+    signed_shift = jnp.where(shift > half, shift - cfg.num_sector, shift)
+    yaws = jnp.deg2rad(signed_shift.astype(query_desc.dtype) * sector_angle)
+    return matches, yaws, top_d
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_loop(db: ScanContextDB, query_desc, cfg: ScanContextConfig = ScanContextConfig(),
                 cand_mask=None):
