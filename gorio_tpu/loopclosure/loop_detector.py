@@ -36,7 +36,12 @@ class LoopConfig(NamedTuple):
 
     distance_thresh: float = 10.0  # `ntu_loop2.launch:133`
     accum_distance_thresh: float = 50.0  # `ntu_loop2.launch:134`
-    min_loop_interval_dist: float = 10.0  # `ntu_loop2.launch:135`
+    # reference launch value is 10.0 (`ntu_loop2.launch:135`); halved after
+    # the r5 recall work: on the recall circuits the 10 m spacing was the
+    # #2 rejection gate (74 counts on circuit3) and each extra accepted loop
+    # is independently verified + gated, so the tighter spacing buys region
+    # coverage without costing precision (measured, RECALL.json r5)
+    min_loop_interval_dist: float = 5.0
     max_yaw_difference_deg: float = 95.0
     max_baro_difference: float = 2.0
     odom_drift_xy: float = 0.05
@@ -94,13 +99,22 @@ class LoopConfig(NamedTuple):
     # contains the match displacement itself, far above the allowance.
     pairwise_drift_scaled: bool = True
     # base radius of the since-last-loop drift ellipse (reference hardcodes
-    # 3.0, `loop_detector.cpp:171`). Kept at parity: widening it to 6 was
-    # MEASURED WORSE on the recall circuit (replay sweep r5: 1 accepted loop
-    # vs 4 — the wider eligibility admits descriptor-strong but
-    # geometry-weak matches as DIRECT matches, which bypass the
-    # fallback-translation gate, verify onto ~5 m-offset poses, and poison
-    # the pairwise chain for every later candidate).
+    # 3.0, `loop_detector.cpp:171`). Kept at parity for the FIRST loop:
+    # widening it unconditionally was MEASURED WORSE on the recall circuit
+    # (replay sweep r5: 1 accepted loop vs 4 — before any loop exists the
+    # estimate is raw odometry and there is no pairwise backstop, so wide
+    # eligibility admits geometry-weak matches whose accepted transform
+    # poisons every later pairwise check).
     ellipse_base: float = 3.0
+    # ...and widened ONCE >=1 loop has been accepted: the graph estimate is
+    # then loop-corrected, so the candidate-to-current displacement
+    # approaches the TRUE lateral revisit offset (up to the ~5 m co-location
+    # radius the verification + trans gate confirm), which the 3 m floor
+    # shadows — measured r5: on the recall circuit ALL tail-lap candidates
+    # (60+ keyframes) died on this gate with the estimate already accurate.
+    # With a loop accepted, the pairwise-consistency chain + universal
+    # translation gate carry the precision burden.
+    ellipse_base_after_first: float = 6.0
     # pairwise consistency compares against the accepted loop with the
     # SMALLEST odometry-span distance to the candidate cycle (the reference
     # always uses the most recent, `loop_detector.cpp:281-283` — after a
@@ -341,6 +355,8 @@ class LoopDetector:
         """Run the full gate chain for one new keyframe (whose descriptor must
         already be in the DB at `new_index`)."""
         cfg = self.cfg
+        if self.loops:  # loop-corrected estimate: widen the ellipse floor
+            cfg = cfg._replace(ellipse_base=cfg.ellipse_base_after_first)
         poses = np.asarray(keyframe_poses)
         accum = np.asarray(keyframe_accum)
         new_accum = accum[new_index]
@@ -501,6 +517,8 @@ class LoopDetector:
         if len(new_indices) == 0:
             return []
         cfg = self.cfg
+        if self.loops:  # see detect(): post-first-loop ellipse floor
+            cfg = cfg._replace(ellipse_base=cfg.ellipse_base_after_first)
         poses = np.asarray(keyframe_poses)
         odoms = np.asarray(keyframe_odoms)
         accum = np.asarray(keyframe_accum)

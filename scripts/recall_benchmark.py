@@ -176,7 +176,7 @@ def analyze(kf_stamps, loops, gt_stamps, gt_pos, accum_gate=50.0,
 
 def run_sequence(name, workdir=None):
     from gorio_tpu.cli import main
-    from gorio_tpu.io.tum import load_tum
+    from gorio_tpu.io.tum import ate_rmse, load_tum, rte
 
     spec = SEQUENCES[name]
     base = Path(workdir or tempfile.mkdtemp(prefix=f"gorio_recall_{name}_"))
@@ -194,16 +194,33 @@ def run_sequence(name, workdir=None):
     out["loop_gate_counts"] = tinfo["loop_gate_counts"]
     out["loops"] = tinfo["loops"]
     # trajectory quality alongside (context for whether recall was *needed*)
-    from gorio_tpu.io.tum import ate_rmse
-
     es, ep = load_tum(est)
     out["ate_rmse_m"] = round(float(ate_rmse(es, ep, np.asarray(gs), gp)), 4)
+    # the SAME run also carries everything the accuracy artifact stores
+    # (identical simulate + slam args for the shared sequences) — one run,
+    # both artifacts, no second 15-30 min SLAM pass
+    out["_accuracy_entry"] = {
+        "ate_rmse_m": out["ate_rmse_m"],
+        "rte_m": round(float(rte(es, ep, np.asarray(gs), gp)), 4),
+        "n_keyframes": tinfo["n_keyframes"],
+        "n_loops": tinfo["n_loops"],
+        "stage_median_ms": {
+            k: round(v, 2) for k, v in tinfo["stage_median_ms"].items()
+        },
+    }
     return out
+
+
+# recall sequence -> ACCURACY.json entry name (identical simulate+slam args)
+ACCURACY_MAP = {"circuit2": "circuit", "figure8": "figure8"}
 
 
 def main_cli():
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
+    ap.add_argument("--accuracy-update", action="store_true",
+                    help="also refresh the matching ACCURACY.json entries "
+                    "from the same runs (circuit2 -> circuit, figure8)")
     ap.add_argument("--seq", choices=list(SEQUENCES), default=None)
     args = ap.parse_args()
     names = [args.seq] if args.seq else list(SEQUENCES)
@@ -212,6 +229,13 @@ def main_cli():
         print(f"== {name} ==", file=sys.stderr)
         results[name] = run_sequence(name)
         print(json.dumps({name: results[name]}), flush=True)
+    acc_entries = {
+        ACCURACY_MAP[n]: r.pop("_accuracy_entry")
+        for n, r in results.items()
+        if n in ACCURACY_MAP
+    }
+    for r in results.values():
+        r.pop("_accuracy_entry", None)
     if args.update:
         stored = {}
         if RECALL_JSON.exists():
@@ -219,6 +243,12 @@ def main_cli():
         stored.update(results)
         RECALL_JSON.write_text(json.dumps(stored, indent=2) + "\n")
         print(f"wrote {RECALL_JSON}", file=sys.stderr)
+    if args.accuracy_update and acc_entries:
+        acc_path = REPO / "ACCURACY.json"
+        stored = json.loads(acc_path.read_text()) if acc_path.exists() else {}
+        stored.update(acc_entries)
+        acc_path.write_text(json.dumps(stored, indent=2) + "\n")
+        print(f"wrote {acc_path} ({', '.join(acc_entries)})", file=sys.stderr)
 
 
 if __name__ == "__main__":
