@@ -124,14 +124,23 @@ def main_cli():
     platform = jax.default_backend()
     with tempfile.TemporaryDirectory(prefix="gorio_stream_") as wd:
         # throwaway pass: the per-run warmup covers the frontend programs but
-        # the backend (preintegration batches etc.) compiles lazily on first
+        # the backend (preintegration batches, the pow2-bucketed graph
+        # solves, loop-verification batches) compiles lazily on first
         # contact — without this the FIRST measured mode eats multi-second
-        # compile latencies in its tail percentiles
-        run(8.0, "drop", wd)
+        # (on remote-compile TPU: multi-MINUTE) compile latencies inside the
+        # measured window. BLOCK mode on purpose: drop mode loses most
+        # frames at rate 8, so the big keyframe-count buckets never compile
+        # (measured r5: the first measured run then spent 30-110 s per
+        # optimize cycle compiling, starving loop closure and the deadline
+        # stats alike).
+        run(8.0, "block", wd)
         results = {
             "platform": platform,
             "block_rate1": run(args.rate, "block", wd),
             "drop_rate1": run(args.rate, "drop", wd),
+            # frontend-only reference point (r4's configuration): isolates
+            # how much of any deadline slip is the backend-in-the-loop
+            "frontend_only_block_rate1": run(args.rate, "block", wd, loops=False),
         }
         for r in (float(x) for x in args.rates.split(",") if x):
             results[f"block_rate{r:g}"] = run(r, "block", wd)
